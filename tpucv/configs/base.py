@@ -1,0 +1,77 @@
+"""Config schema — dataclass mirror of the reference's nested config classes
+(``configs/*_cfg.py``: sub-objects arch / dataset / train / loss / optimizer /
+log / decode). Editing the Python config remains the workflow; argparse only
+carries identity flags, exactly like the reference (SURVEY.md §5.6)."""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+@dataclass
+class DatasetCfg:
+    name: str = "coco"                  # "voc" | "coco"
+    input_size: int = 640               # square model input
+    max_num_boxes: int = 100            # static GT pad per image
+    num_workers: int = 2
+
+
+@dataclass
+class TrainCfg:
+    epochs: int = 100
+    batch_size: int = 16
+    mixed_precision: bool = True        # bf16 on TPU; no GradScaler needed
+    resume_training: bool = False
+    last_epoch: int = -1
+    eval_interval: int = 10
+    save_interval: int = 10
+    save_path: str = "saves"
+    pretrained_weights: str = ""
+    mosaic_prob: float = 0.5
+    special_aug_ratio: float = 0.7
+
+
+@dataclass
+class OptimizerCfg:
+    name: str = "adam"
+    lr: float = 1e-3
+    weight_decay: float = 0.0
+    warmup_iters: int = 1000
+    milestones: Tuple[int, ...] = ()    # epochs; converted to iters by trainer
+    gamma: float = 0.1
+    ema_decay: float = 0.0              # 0 disables (reference never enables)
+
+
+@dataclass
+class LogCfg:
+    root: str = "log"
+    print_interval: int = 50
+    tensorboard_on: bool = True
+    tensorboard_dir: str = "runs"
+
+
+@dataclass
+class DecodeCfg:
+    conf_threshold: float = 0.25
+    iou_threshold: float = 0.7
+    max_det: int = 300
+    pre_nms_topk: int = 2048
+
+
+@dataclass
+class BaseConfig:
+    """Every model config carries the same sub-object schema."""
+
+    arch: Any = None
+    dataset: DatasetCfg = field(default_factory=DatasetCfg)
+    train: TrainCfg = field(default_factory=TrainCfg)
+    loss: Any = None
+    optimizer: OptimizerCfg = field(default_factory=OptimizerCfg)
+    log: LogCfg = field(default_factory=LogCfg)
+    decode: DecodeCfg = field(default_factory=DecodeCfg)
+
+    @property
+    def model_name(self) -> str:
+        raise NotImplementedError

@@ -1,0 +1,284 @@
+"""Per-model configs — dataclass mirrors of the reference's
+``configs/{yolo8_det,ssd,centernet,yolo7,deeplabv3plus,yolov3}_cfg.py``
+with the same hyperparameter values."""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Sequence, Tuple
+
+from tpucv.configs.base import (
+    BaseConfig, DatasetCfg, DecodeCfg, LogCfg, OptimizerCfg, TrainCfg,
+)
+from tpucv.configs.dataset_cfg import get_dataset_cfg
+from tpucv.registry import config_registry
+
+
+# ---------------------------------------------------------------- YOLOv8-det
+@dataclass
+class Yolo8Arch:
+    model_type: str = "n"            # n/s/m/l/x
+    reg_max: int = 16
+    strides: Tuple[int, ...] = (8, 16, 32)
+
+
+@dataclass
+class Yolo8Loss:
+    box_gain: float = 7.5
+    cls_gain: float = 0.5
+    dfl_gain: float = 1.5
+    tal_topk: int = 10
+
+
+@config_registry("yolo8_det")
+@dataclass
+class Yolo8DetConfig(BaseConfig):
+    """Reference: configs/yolo8_det_cfg.py:9-96."""
+
+    arch: Yolo8Arch = field(default_factory=Yolo8Arch)
+    loss: Yolo8Loss = field(default_factory=Yolo8Loss)
+    dataset: DatasetCfg = field(default_factory=lambda: DatasetCfg(
+        name="coco", input_size=640, max_num_boxes=100))
+    optimizer: OptimizerCfg = field(default_factory=lambda: OptimizerCfg(
+        name="adam", lr=1e-3, warmup_iters=1000, milestones=(60, 80)))
+    decode: DecodeCfg = field(default_factory=lambda: DecodeCfg(
+        conf_threshold=0.25, iou_threshold=0.7, max_det=300))
+
+    @property
+    def model_name(self) -> str:
+        return "yolo8_det"
+
+    @property
+    def num_classes(self) -> int:
+        return get_dataset_cfg(self.dataset.name)["num_classes"]
+
+
+# ---------------------------------------------------------------------- SSD
+def _ssd_tables(size: int):
+    """Reference configs/ssd_cfg.py:5-49 (get_ar / get_feature_shapes /
+    get_feature_channels / get_anchor_sizes) for 300/512 inputs."""
+    if size == 300:
+        return dict(
+            aspect_ratios=[[2], [2, 3], [2, 3], [2, 3], [2], [2]],
+            feature_shapes=[38, 19, 10, 5, 3, 1],
+            feature_channels=[512, 1024, 512, 256, 256, 256],
+            anchor_sizes=[30, 60, 111, 162, 213, 264, 315],
+        )
+    if size == 512:
+        return dict(
+            aspect_ratios=[[2], [2, 3], [2, 3], [2, 3], [2, 3], [2], [2]],
+            feature_shapes=[64, 32, 16, 8, 4, 2, 1],
+            feature_channels=[512, 1024, 512, 256, 256, 256, 256],
+            anchor_sizes=[36, 77, 154, 230, 307, 384, 461, 538],
+        )
+    raise ValueError(f"SSD input size must be 300 or 512, got {size}")
+
+
+@dataclass
+class SsdArch:
+    backbone: str = "vgg16"
+    input_size: int = 300
+    variances: Tuple[float, float] = (0.1, 0.2)
+
+    @property
+    def tables(self):
+        return _ssd_tables(self.input_size)
+
+
+@dataclass
+class SsdLoss:
+    alpha: float = 1.0
+    neg_pos_ratio: int = 3
+    overlap_threshold: float = 0.5
+
+
+@config_registry("ssd")
+@dataclass
+class SsdConfig(BaseConfig):
+    """Reference: configs/ssd_cfg.py:9-158."""
+
+    arch: SsdArch = field(default_factory=SsdArch)
+    loss: SsdLoss = field(default_factory=SsdLoss)
+    dataset: DatasetCfg = field(default_factory=lambda: DatasetCfg(
+        name="voc", input_size=300, max_num_boxes=100))
+    optimizer: OptimizerCfg = field(default_factory=lambda: OptimizerCfg(
+        name="adam", lr=1e-3, warmup_iters=1000, milestones=(100, 150)))
+    decode: DecodeCfg = field(default_factory=lambda: DecodeCfg(
+        conf_threshold=0.7, iou_threshold=0.5, max_det=100, pre_nms_topk=1024))
+
+    @property
+    def model_name(self) -> str:
+        return "ssd"
+
+    @property
+    def num_classes(self) -> int:
+        # +1 background, reference ssd convention
+        return get_dataset_cfg(self.dataset.name)["num_classes"] + 1
+
+
+# ----------------------------------------------------------------- CenterNet
+@dataclass
+class CenterNetArch:
+    backbone: str = "dla34"
+    input_size: int = 384
+    downsample: int = 4
+    head_channels: int = 256
+
+
+@dataclass
+class CenterNetLoss:
+    hm_weight: float = 1.0
+    wh_weight: float = 0.1
+    off_weight: float = 1.0
+
+
+@dataclass
+class CenterNetDecode(DecodeCfg):
+    K: int = 100
+    conf_threshold: float = 0.1
+    use_diou_nms: bool = True
+    iou_threshold: float = 0.5
+
+
+@config_registry("centernet")
+@dataclass
+class CenterNetConfig(BaseConfig):
+    """Reference: configs/centernet_cfg.py:5-95."""
+
+    arch: CenterNetArch = field(default_factory=CenterNetArch)
+    loss: CenterNetLoss = field(default_factory=CenterNetLoss)
+    dataset: DatasetCfg = field(default_factory=lambda: DatasetCfg(
+        name="voc", input_size=384, max_num_boxes=30))
+    optimizer: OptimizerCfg = field(default_factory=lambda: OptimizerCfg(
+        name="adam", lr=1.25e-4, warmup_iters=1000, milestones=(90, 120)))
+    decode: CenterNetDecode = field(default_factory=CenterNetDecode)
+
+    @property
+    def model_name(self) -> str:
+        return "centernet"
+
+    @property
+    def num_classes(self) -> int:
+        return get_dataset_cfg(self.dataset.name)["num_classes"]
+
+
+# ------------------------------------------------------------------- YOLOv7
+YOLO7_ANCHORS: Tuple[Tuple[int, int], ...] = (
+    (12, 16), (19, 36), (40, 28),
+    (36, 75), (76, 55), (72, 146),
+    (142, 110), (192, 243), (459, 401),
+)
+
+
+@dataclass
+class Yolo7Arch:
+    phi: str = "l"                    # l | x
+    anchors: Tuple[Tuple[int, int], ...] = YOLO7_ANCHORS
+    anchor_mask: Tuple[Tuple[int, ...], ...] = ((0, 1, 2), (3, 4, 5), (6, 7, 8))
+    strides: Tuple[int, ...] = (8, 16, 32)
+
+
+@dataclass
+class Yolo7Loss:
+    box_gain: float = 0.05
+    obj_gain: float = 0.7
+    cls_gain: float = 0.3
+    label_smoothing: float = 0.0
+    layer_balance: Tuple[float, float, float] = (4.0, 1.0, 0.4)
+
+
+@config_registry("yolo7")
+@dataclass
+class Yolo7Config(BaseConfig):
+    """Reference: configs/yolo7_cfg.py:5-98."""
+
+    arch: Yolo7Arch = field(default_factory=Yolo7Arch)
+    loss: Yolo7Loss = field(default_factory=Yolo7Loss)
+    dataset: DatasetCfg = field(default_factory=lambda: DatasetCfg(
+        name="voc", input_size=640, max_num_boxes=100))
+    optimizer: OptimizerCfg = field(default_factory=lambda: OptimizerCfg(
+        name="adam", lr=1e-3, warmup_iters=1000, milestones=(100, 200)))
+    decode: DecodeCfg = field(default_factory=lambda: DecodeCfg(
+        conf_threshold=0.5, iou_threshold=0.3, max_det=100))
+
+    @property
+    def model_name(self) -> str:
+        return "yolo7"
+
+    @property
+    def num_classes(self) -> int:
+        return get_dataset_cfg(self.dataset.name)["num_classes"]
+
+
+# -------------------------------------------------------------- DeepLabV3+
+@dataclass
+class DeeplabArch:
+    backbone: str = "resnet101"
+    output_stride: int = 16
+    input_size: int = 513
+    crop_size: int = 513
+
+
+@dataclass
+class DeeplabLoss:
+    name: str = "focal"               # "ce" | "focal"
+    alpha: float = 0.25
+    gamma: float = 2.0
+    ignore_index: int = 255
+
+
+@config_registry("deeplabv3plus")
+@dataclass
+class DeeplabV3PlusConfig(BaseConfig):
+    """Reference: configs/deeplabv3plus_cfg.py:5-88."""
+
+    arch: DeeplabArch = field(default_factory=DeeplabArch)
+    loss: DeeplabLoss = field(default_factory=DeeplabLoss)
+    dataset: DatasetCfg = field(default_factory=lambda: DatasetCfg(
+        name="voc", input_size=513, max_num_boxes=0))
+    optimizer: OptimizerCfg = field(default_factory=lambda: OptimizerCfg(
+        name="adam", lr=7e-4, warmup_iters=1000, milestones=(60, 80)))
+    train: TrainCfg = field(default_factory=lambda: TrainCfg(eval_interval=5))
+
+    @property
+    def model_name(self) -> str:
+        return "deeplabv3plus"
+
+    @property
+    def num_classes(self) -> int:
+        return 21  # VOC 20 + background
+
+
+# ---------------------------------------------------------- YOLOv3 (legacy)
+YOLO3_ANCHORS: Tuple[Tuple[int, int], ...] = (
+    (10, 13), (16, 30), (33, 23),
+    (30, 61), (62, 45), (59, 119),
+    (116, 90), (156, 198), (373, 326),
+)
+
+
+@dataclass
+class Yolo3Arch:
+    anchors: Tuple[Tuple[int, int], ...] = YOLO3_ANCHORS
+    anchor_mask: Tuple[Tuple[int, ...], ...] = ((6, 7, 8), (3, 4, 5), (0, 1, 2))
+    strides: Tuple[int, ...] = (32, 16, 8)
+
+
+@dataclass
+class Yolo3Config(BaseConfig):
+    """Reference: configs/yolov3_cfg.py:1-86 (unregistered there as well)."""
+
+    arch: Yolo3Arch = field(default_factory=Yolo3Arch)
+    dataset: DatasetCfg = field(default_factory=lambda: DatasetCfg(
+        name="coco", input_size=416, max_num_boxes=100))
+    decode: DecodeCfg = field(default_factory=lambda: DecodeCfg(
+        conf_threshold=0.5, iou_threshold=0.45, max_det=100))
+
+    @property
+    def model_name(self) -> str:
+        return "yolov3"
+
+    @property
+    def num_classes(self) -> int:
+        return get_dataset_cfg(self.dataset.name)["num_classes"]

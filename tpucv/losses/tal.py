@@ -1,0 +1,132 @@
+"""Task-Aligned assigner — fully vectorised, fixed-shape, jit/vmap-friendly.
+
+Re-design of the reference ``TaskAlignedAssigner``
+(``core/utils/bboxes.py:275-470``). The reference masks/indexes with
+data-dependent shapes; here everything is (B, M, A) masked tensor algebra with
+a static ``max_boxes`` M, which is what the TPU wants: no host sync, no ragged
+gathers, one fused XLA graph.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpucv.ops.boxes import bbox_iou
+
+
+class TALResult(NamedTuple):
+    target_labels: jax.Array   # (B, A) int32
+    target_bboxes: jax.Array   # (B, A, 4) xyxy
+    target_scores: jax.Array   # (B, A, nc)
+    fg_mask: jax.Array         # (B, A) bool
+
+
+def select_candidates_in_gts(
+    anc_points: jax.Array, gt_bboxes: jax.Array, eps: float = 1e-9
+) -> jax.Array:
+    """(A,2) anchor centres inside (B,M,4) xyxy GTs -> (B,M,A) bool
+    (reference bboxes.py:231-246)."""
+    x, y = anc_points[:, 0], anc_points[:, 1]                  # (A,)
+    x1, y1, x2, y2 = (gt_bboxes[..., i][..., None] for i in range(4))  # (B,M,1)
+    deltas = jnp.stack([x - x1, y - y1, x2 - x, y2 - y], axis=-1)      # (B,M,A,4)
+    return jnp.min(deltas, axis=-1) > eps
+
+
+def select_highest_overlaps(
+    mask_pos: jax.Array, overlaps: jax.Array, max_boxes: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Resolve anchors claimed by multiple GTs: keep the highest-IoU GT
+    (reference bboxes.py:249-272).
+
+    Args:
+      mask_pos: (B, M, A) positive mask, overlaps: (B, M, A) IoUs.
+    Returns:
+      target_gt_idx (B, A), fg_mask (B, A), mask_pos (B, M, A).
+    """
+    fg_counts = mask_pos.sum(axis=-2)                          # (B, A)
+    multi = fg_counts > 1
+    best_gt = jnp.argmax(jnp.where(mask_pos, overlaps, -1.0), axis=-2)  # (B, A)
+    one_hot_best = jax.nn.one_hot(best_gt, max_boxes, axis=-2, dtype=mask_pos.dtype)
+    mask_pos = jnp.where(multi[:, None, :], one_hot_best * mask_pos, mask_pos)
+    fg_mask = mask_pos.sum(axis=-2) > 0                         # (B, A)
+    target_gt_idx = jnp.argmax(mask_pos, axis=-2)               # (B, A)
+    return target_gt_idx, fg_mask, mask_pos
+
+
+def task_aligned_assigner(
+    pd_scores: jax.Array,
+    pd_bboxes: jax.Array,
+    anc_points: jax.Array,
+    gt_labels: jax.Array,
+    gt_bboxes: jax.Array,
+    gt_mask: jax.Array,
+    topk: int = 10,
+    alpha: float = 0.5,
+    beta: float = 6.0,
+    num_classes: int = 80,
+    eps: float = 1e-9,
+) -> TALResult:
+    """Assign GTs to anchors by the task-aligned metric s^alpha * iou^beta.
+
+    Args:
+      pd_scores: (B, A, nc) sigmoid class scores.
+      pd_bboxes: (B, A, 4) xyxy predictions (same units as gt_bboxes).
+      anc_points: (A, 2) anchor centres (same units).
+      gt_labels: (B, M) int32, gt_bboxes: (B, M, 4) xyxy,
+      gt_mask: (B, M) bool — False rows are padding.
+    """
+    B, A, nc = pd_scores.shape
+    M = gt_labels.shape[1]
+
+    # alignment metric (B, M, A)
+    gt_scores = jnp.take_along_axis(
+        pd_scores.transpose(0, 2, 1),                 # (B, nc, A)
+        jnp.clip(gt_labels, 0, nc - 1)[:, :, None], axis=1,
+    )                                                 # (B, M, A)
+    overlaps = bbox_iou(
+        gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, ciou=True
+    )
+    overlaps = jnp.clip(jnp.squeeze(overlaps, axis=-1)
+                        if overlaps.ndim == 4 else overlaps, 0)
+    align = (gt_scores**alpha) * (overlaps**beta)
+
+    mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes, eps)
+    valid = mask_in_gts & gt_mask[..., None]
+    align = jnp.where(valid, align, 0.0)
+
+    # top-k per GT over anchors (reference _select_topk_candidates)
+    k = min(topk, A)
+    topk_vals, topk_idx = jax.lax.top_k(align, k)               # (B, M, k)
+    topk_valid = topk_vals > eps
+    mask_topk = jnp.zeros((B, M, A), dtype=bool)
+    mask_topk = jnp.zeros_like(align, dtype=bool).at[
+        jnp.arange(B)[:, None, None],
+        jnp.arange(M)[None, :, None],
+        topk_idx,
+    ].set(topk_valid)
+    mask_pos = (mask_topk & valid).astype(align.dtype)
+
+    target_gt_idx, fg_mask, mask_pos = select_highest_overlaps(
+        mask_pos, overlaps, M
+    )
+
+    # gather targets (B, A)
+    tl = jnp.take_along_axis(gt_labels, target_gt_idx, axis=1)
+    tb = jnp.take_along_axis(
+        gt_bboxes, target_gt_idx[..., None].repeat(4, axis=-1), axis=1
+    )
+    tl = jnp.where(fg_mask, tl, 0)
+
+    # normalised target scores (reference bboxes.py:334-345)
+    align = align * mask_pos
+    pos_align = jnp.max(align, axis=-1, keepdims=True)          # (B, M, 1)
+    pos_overlap = jnp.max(overlaps * mask_pos, axis=-1, keepdims=True)
+    norm_align = (align * pos_overlap / (pos_align + eps)).max(axis=-2)  # (B, A)
+
+    scores_onehot = jax.nn.one_hot(tl, num_classes, dtype=pd_scores.dtype)
+    target_scores = scores_onehot * (norm_align * fg_mask)[..., None]
+
+    return TALResult(tl.astype(jnp.int32), tb, target_scores, fg_mask)

@@ -1,0 +1,116 @@
+"""YOLOv8 detection loss: TAL assignment + BCE cls + CIoU + DFL.
+
+Functional re-design of the reference ``Loss`` (core/algorithms/yolo_v8.py:25-124)
+and ``BboxLoss`` (core/loss/ultralytics_loss.py:25-57). Targets arrive as
+*padded, fixed-shape* (B, M, 5) [class, x1, y1, x2, y2 pixels] + mask — no
+collate-time ragged concat as in the reference's ``preprocess``
+(yolo_v8.py:51-65); padding is produced by the dataset.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpucv.nn.heads import dfl_project
+from tpucv.ops.anchors import make_anchors
+from tpucv.ops.boxes import bbox2dist, bbox_iou, dist2bbox
+from tpucv.losses.tal import task_aligned_assigner
+
+
+def _df_loss(pred_dist: jax.Array, target: jax.Array) -> jax.Array:
+    """Distribution focal loss (reference ultralytics_loss.py:49-57).
+
+    pred_dist: (..., 4, reg_max) logits; target: (..., 4) continuous in
+    [0, reg_max-1]. Returns (...,) mean over the 4 sides.
+    """
+    tl = jnp.floor(target).astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(pred_dist.dtype) - target
+    wr = 1.0 - wl
+    logp = jax.nn.log_softmax(pred_dist, axis=-1)
+    reg_max = pred_dist.shape[-1]
+    ll = jnp.take_along_axis(logp, jnp.clip(tl, 0, reg_max - 1)[..., None],
+                             axis=-1)[..., 0]
+    lr = jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None],
+                             axis=-1)[..., 0]
+    return -(ll * wl + lr * wr).mean(axis=-1)
+
+
+def yolov8_loss(
+    raw_maps: Sequence[jax.Array],
+    gt_labels: jax.Array,
+    gt_bboxes: jax.Array,
+    gt_mask: jax.Array,
+    nc: int = 80,
+    reg_max: int = 16,
+    strides: Sequence[int] = (8, 16, 32),
+    box_gain: float = 7.5,
+    cls_gain: float = 0.5,
+    dfl_gain: float = 1.5,
+    tal_topk: int = 10,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Compute the YOLOv8 training loss.
+
+    Args:
+      raw_maps: per-level (B, H, W, 4*reg_max+nc) raw head outputs.
+      gt_labels: (B, M) int32; gt_bboxes: (B, M, 4) xyxy in input pixels;
+      gt_mask: (B, M) bool.
+    Returns:
+      (scalar total loss, dict of unweighted components) — total is scaled by
+      batch size like the reference (yolo_v8.py:122-124).
+    """
+    B = raw_maps[0].shape[0]
+    feat_shapes = [m.shape[1:3] for m in raw_maps]
+    anchor_points, stride_arr = make_anchors(feat_shapes, strides)  # (A,2),(A,1)
+
+    flat = [m.reshape(B, -1, m.shape[-1]) for m in raw_maps]
+    x = jnp.concatenate(flat, axis=1).astype(jnp.float32)    # (B, A, no)
+    pred_dist_logits = x[..., : 4 * reg_max]                  # (B, A, 64)
+    pred_cls_logits = x[..., 4 * reg_max:]                    # (B, A, nc)
+    pred_scores = jax.nn.sigmoid(pred_cls_logits)
+
+    # decode boxes at feature scale (grid units), like reference bbox_decode
+    dist = dfl_project(pred_dist_logits, reg_max)             # (B, A, 4)
+    pred_bboxes = dist2bbox(dist, anchor_points[None])        # (B, A, 4) grid units
+
+    # assigner works in pixel units (reference yolo_v8.py:96-104)
+    assigned = task_aligned_assigner(
+        jax.lax.stop_gradient(pred_scores),
+        jax.lax.stop_gradient(pred_bboxes * stride_arr[None]),
+        anchor_points * stride_arr,
+        gt_labels, gt_bboxes, gt_mask,
+        topk=tal_topk, num_classes=nc,
+    )
+    target_bboxes = assigned.target_bboxes / stride_arr[None]  # grid units
+    target_scores = assigned.target_scores
+    fg = assigned.fg_mask
+    tss = jnp.maximum(target_scores.sum(), 1.0)
+
+    # cls: BCE with soft targets, sum / target_scores_sum (yolo_v8.py:108-109)
+    bce = optax_sigmoid_bce(pred_cls_logits, target_scores)
+    loss_cls = bce.sum() / tss
+
+    # box: CIoU weighted by anchor target-score weight (ultralytics_loss.py:36-40)
+    weight = target_scores.sum(-1)                             # (B, A)
+    iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, ciou=True)
+    loss_box = (jnp.where(fg, (1.0 - iou) * weight, 0.0)).sum() / tss
+
+    # dfl (ultralytics_loss.py:42-48)
+    target_ltrb = bbox2dist(target_bboxes, anchor_points[None], reg_max - 1)
+    df = _df_loss(pred_dist_logits.reshape(B, -1, 4, reg_max), target_ltrb)
+    loss_dfl = (jnp.where(fg, df * weight, 0.0)).sum() / tss
+
+    total = (box_gain * loss_box + cls_gain * loss_cls + dfl_gain * loss_dfl) * B
+    return total, {
+        "box_loss": loss_box, "cls_loss": loss_cls, "dfl_loss": loss_dfl,
+        "num_fg": fg.sum().astype(jnp.float32),
+    }
+
+
+def optax_sigmoid_bce(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Numerically stable sigmoid BCE (torch BCEWithLogits equivalent)."""
+    return jnp.clip(logits, 0) - logits * labels + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))

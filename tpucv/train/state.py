@@ -1,0 +1,102 @@
+"""Train state + jitted train step factory.
+
+Replaces the reference's ``BaseTrainer`` inner loop mechanics
+(``core/trainer/base.py:214-263``): AMP GradScaler is unnecessary (bf16),
+optimizer/scheduler objects become optax transforms, and the whole
+fwd+loss+bwd+update is one jitted function sharded over the mesh (DP
+all-reduce of gradients is inserted by XLA from the shardings — there is no
+hand-written collective). EMA (reference ``ModelEMA``, lr_scheduler.py:55-84,
+defined-but-unused there) is available as an optax-style decay on params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+
+    @classmethod
+    def create(cls, params, batch_stats, tx: optax.GradientTransformation,
+               use_ema: bool = False):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            ema_params=jax.tree_util.tree_map(jnp.copy, params) if use_ema else None,
+        )
+
+
+LossFn = Callable[..., Tuple[jax.Array, Dict[str, jax.Array]]]
+# signature: loss_fn(raw_outputs, batch) -> (scalar, metrics dict)
+
+
+def make_train_step(
+    apply_fn: Callable,
+    loss_fn: LossFn,
+    tx: optax.GradientTransformation,
+    ema_decay: float = 0.0,
+    donate: bool = True,
+):
+    """Build a jitted train step.
+
+    ``apply_fn(variables, images, train=True, mutable=["batch_stats"])`` must
+    return (raw_outputs, {"batch_stats": ...}).
+    ``loss_fn(raw_outputs, batch)`` returns (scalar_loss, metrics).
+    """
+
+    def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
+        def compute(params):
+            raw, updates = apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["images"], train=True, mutable=["batch_stats"],
+            )
+            loss, metrics = loss_fn(raw, batch)
+            return loss, (metrics, updates["batch_stats"])
+
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if state.ema_params is not None and ema_decay > 0:
+            d = ema_decay
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p * (1.0 - d), state.ema_params, new_params)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_bs,
+            opt_state=new_opt, ema_params=new_ema,
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(apply_fn: Callable, loss_fn: LossFn):
+    def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
+        raw = apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["images"], train=False,
+        )
+        loss, metrics = loss_fn(raw, batch)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return metrics
+
+    return jax.jit(step_fn)
