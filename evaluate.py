@@ -1,0 +1,46 @@
+"""Evaluate CLI — same flags as the reference (``evaluate.py:9-34``):
+``python evaluate.py --model <name> --dataset voc|coco --ckpt <path>``.
+"""
+
+import argparse
+import os
+
+from tpucv.builder import export_from_registry
+from tpucv.ckpt.checkpoint import CheckPoint
+from tpucv.configs.dataset_cfg import get_dataset_cfg
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", type=str, required=True)
+    parser.add_argument("--dataset", type=str, default=None,
+                        choices=["voc", "coco"])
+    parser.add_argument("--ckpt", type=str, default="")
+    parser.add_argument("--subset", type=str, default="val")
+    parser.add_argument("--batch-size", type=int, default=32)
+    args = parser.parse_args()
+
+    cfg, algo_cls, _ = export_from_registry(args.model)
+    if args.dataset:
+        cfg.dataset.name = args.dataset
+    algo = algo_cls(cfg)
+    model = algo.build_model()
+    variables = algo.init_variables(model)
+    if args.ckpt:
+        variables = CheckPoint.load_pure(args.ckpt, dict(variables))
+
+    ds = get_dataset_cfg(cfg.dataset.name)
+    if cfg.dataset.name == "coco":
+        from tpucv.data.coco import COCOIndex
+        index = COCOIndex(
+            os.path.join(ds["root"], f"annotations/instances_{args.subset}2017.json"),
+            os.path.join(ds["root"], f"{args.subset}2017"))
+        algo.evaluate_on_coco(variables, index, args.batch_size)
+    else:
+        from tpucv.data.voc import VOCDetectionIndex
+        index = VOCDetectionIndex(ds["root"], args.subset)
+        algo.evaluate_on_voc(variables, index, args.batch_size)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""Predict CLI — same flags as the reference (``predict.py:23-55``):
+``python predict.py --model <name> --ckpt <path> --type image|video --src ... --dst ...``
+"""
+
+import argparse
+import time
+
+from tpucv.builder import export_from_registry
+from tpucv.ckpt.checkpoint import CheckPoint
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", type=str, required=True)
+    parser.add_argument("--ckpt", type=str, default="")
+    parser.add_argument("--type", type=str, default="image",
+                        choices=["image", "video"])
+    parser.add_argument("--src", type=str, nargs="+", default=[],
+                        help="input image path(s) or video path")
+    parser.add_argument("--dst", type=str, default="detect_results")
+    args = parser.parse_args()
+
+    cfg, algo_cls, _ = export_from_registry(args.model)
+    algo = algo_cls(cfg)
+    model = algo.build_model()
+    variables = algo.init_variables(model)
+    if args.ckpt:
+        variables = CheckPoint.load_pure(args.ckpt, dict(variables))
+
+    if args.type == "video":
+        from scripts.detect import detect_video
+        assert len(args.src) == 1, "--type video takes one --src path"
+        detect_video(algo, variables, args.src[0], args.dst)
+        return
+
+    infer_fn = algo.make_infer_fn(model)
+    t0 = time.time()
+    for path in args.src:
+        result = algo.predict(variables, path, infer_fn=infer_fn,
+                              save_dir=args.dst)
+        print(f"{path}: {len(result['boxes'])} objects "
+              f"-> {result['saved']}")
+    print(f"total time: {time.time() - t0:.2f}s")
+
+
+if __name__ == "__main__":
+    main()

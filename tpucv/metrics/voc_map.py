@@ -1,0 +1,107 @@
+"""VOC-style per-class AP / mAP engine.
+
+Re-implements the vendored Cartucho/mAP engine the reference uses
+(``core/metrics/mAP.py:302-835``: per-class greedy matching at a single IoU
+threshold, monotone-envelope AP integration ``voc_ap`` :107-155) as in-memory
+numpy — no GT/DR txt directory round-trip. A txt-free API also means eval can
+stay batched and on-device until the final gather.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+def voc_ap(rec: np.ndarray, prec: np.ndarray) -> float:
+    """Exact AP by monotone envelope + step integration
+    (reference mAP.py:107-155)."""
+    mrec = np.concatenate([[0.0], rec, [1.0]])
+    mpre = np.concatenate([[0.0], prec, [0.0]])
+    for i in range(len(mpre) - 2, -1, -1):
+        mpre[i] = max(mpre[i], mpre[i + 1])
+    idx = np.where(mrec[1:] != mrec[:-1])[0] + 1
+    return float(np.sum((mrec[idx] - mrec[idx - 1]) * mpre[idx]))
+
+
+def evaluate_voc_map(
+    gts: Sequence[dict],
+    dts: Sequence[dict],
+    class_names: Sequence[str],
+    iou_threshold: float = 0.5,
+) -> Dict:
+    """Compute per-class AP + mAP at one IoU threshold.
+
+    gts: {image_id, class_id, bbox xyxy, difficult(bool, optional)}
+    dts: {image_id, class_id, bbox xyxy, score}
+    Difficult GTs are ignored (not counted, matches don't count as FP) —
+    same convention as the reference engine.
+    """
+    n_cls = len(class_names)
+    gt_by = defaultdict(list)
+    for g in gts:
+        gt_by[(g["image_id"], g["class_id"])].append(g)
+
+    results = {}
+    aps = []
+    for c in range(n_cls):
+        cls_dts = sorted([d for d in dts if d["class_id"] == c],
+                         key=lambda d: -d["score"])
+        # per-image matched flags
+        matched: Dict = {}
+        n_pos = 0
+        for key, gl in gt_by.items():
+            if key[1] != c:
+                continue
+            matched[key[0]] = np.zeros(len(gl), bool)
+            n_pos += sum(1 for g in gl if not g.get("difficult", False))
+        tp = np.zeros(len(cls_dts))
+        fp = np.zeros(len(cls_dts))
+        for di, d in enumerate(cls_dts):
+            gl = gt_by.get((d["image_id"], c), [])
+            if not gl:
+                fp[di] = 1
+                continue
+            g_boxes = np.array([g["bbox"] for g in gl], float)
+            db = np.asarray(d["bbox"], float)
+            ix = np.clip(np.minimum(db[2], g_boxes[:, 2]) -
+                         np.maximum(db[0], g_boxes[:, 0]), 0, None)
+            iy = np.clip(np.minimum(db[3], g_boxes[:, 3]) -
+                         np.maximum(db[1], g_boxes[:, 1]), 0, None)
+            inter = ix * iy
+            union = ((db[2] - db[0]) * (db[3] - db[1])
+                     + (g_boxes[:, 2] - g_boxes[:, 0])
+                     * (g_boxes[:, 3] - g_boxes[:, 1]) - inter)
+            ious = inter / np.maximum(union, 1e-9)
+            gi = int(np.argmax(ious))
+            if ious[gi] >= iou_threshold:
+                if gl[gi].get("difficult", False):
+                    continue  # ignore
+                if not matched[d["image_id"]][gi]:
+                    matched[d["image_id"]][gi] = True
+                    tp[di] = 1
+                else:
+                    fp[di] = 1
+            else:
+                fp[di] = 1
+        tp_c = np.cumsum(tp)
+        fp_c = np.cumsum(fp)
+        rec = tp_c / max(n_pos, 1)
+        prec = tp_c / np.maximum(tp_c + fp_c, np.spacing(1))
+        ap = voc_ap(rec, prec) if n_pos > 0 else 0.0
+        results[class_names[c]] = {
+            "AP": ap, "n_gt": n_pos, "n_det": len(cls_dts),
+            "precision": prec, "recall": rec,
+        }
+        if n_pos > 0:
+            aps.append(ap)
+    mAP = float(np.mean(aps)) if aps else 0.0
+    return {"mAP": mAP, "per_class": results, "iou_threshold": iou_threshold}
+
+
+def print_voc_map(result: Dict):
+    for name, r in sorted(result["per_class"].items()):
+        print(f"{r['AP'] * 100:.2f}% = {name} AP  (gt: {r['n_gt']})")
+    print(f"mAP@{result['iou_threshold']:.2f} = {result['mAP'] * 100:.2f}%")

@@ -1,0 +1,216 @@
+"""BaseTrainer — the template-method epoch loop
+(reference ``core/trainer/base.py:48-295``), TPU-native.
+
+Same skeleton: __init__ wires set_model_algorithm -> load_data ->
+initialize_model -> set_optimizer -> set_criterion, ``train()`` owns the epoch
+loop, resume, periodic eval + checkpoint, file log + TensorBoard. Deltas:
+  * no GradScaler — bf16 needs none (reference base.py:193-196)
+  * optimizer/scheduler are optax (iteration-stepped, reproducing the
+    reference's per-iteration warmup+multistep, base.py:121-122, 261-263)
+  * the whole train step is one jitted, mesh-sharded function; host work is
+    batching + logging only
+  * datasets fall back to synthetic data when the configured root is absent,
+    so smoke training runs anywhere.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpucv.ckpt.checkpoint import CheckPoint
+from tpucv.data.loader import Loader
+from tpucv.ops.preprocess import normalize_images
+from tpucv.parallel import mesh as pmesh
+from tpucv.train.schedules import warmup_multistep
+from tpucv.train.state import TrainState, make_train_step, make_eval_step
+
+
+class MeanMetric:
+    """Streaming mean (reference base.py:31-45)."""
+
+    def __init__(self):
+        self.total = 0.0
+        self.count = 0
+
+    def update(self, v: float):
+        self.total += float(v)
+        self.count += 1
+
+    def result(self) -> float:
+        return self.total / max(self.count, 1)
+
+    def reset(self):
+        self.total, self.count = 0.0, 0
+
+
+class BaseTrainer:
+    def __init__(self, cfg, use_synthetic_fallback: bool = True):
+        self.cfg = cfg
+        self.use_synthetic_fallback = use_synthetic_fallback
+        self.mesh = pmesh.create_mesh()
+        self.compute_dtype = (jnp.bfloat16 if cfg.train.mixed_precision
+                              else jnp.float32)
+
+        self.set_model_algorithm()
+        self.load_data()
+        self.initialize_model()
+        self.set_optimizer()
+        self.set_criterion()
+        self._setup_logging()
+
+    # --------------------------------------------------- subclass hooks
+    def set_model_algorithm(self):
+        raise NotImplementedError
+
+    def load_data(self):
+        raise NotImplementedError
+
+    def initialize_model(self):
+        self.model = self.algorithm.build_model()
+        variables = self.algorithm.init_variables(self.model)
+        self.init_params = variables["params"]
+        self.init_batch_stats = variables.get("batch_stats", {})
+
+    def set_optimizer(self):
+        o = self.cfg.optimizer
+        iters_per_epoch = max(len(self.train_loader), 1)
+        milestones = [m * iters_per_epoch for m in o.milestones]
+        self.lr_schedule = warmup_multistep(
+            o.lr, o.warmup_iters, milestones, o.gamma)
+        tx = optax.adam(self.lr_schedule)
+        if o.weight_decay:
+            tx = optax.chain(
+                optax.add_decayed_weights(o.weight_decay), tx)
+        self.tx = tx
+
+    def set_criterion(self):
+        self.loss_fn = self.algorithm.build_loss()
+
+    # ------------------------------------------------------- batch prep
+    def device_batch(self, batch: Dict[str, np.ndarray]) -> Dict:
+        batch = dict(batch)
+        batch["images"] = batch["images"].astype(np.uint8)
+        out = pmesh.shard_batch(batch, self.mesh)
+        out["images"] = normalize_images(out["images"], self.compute_dtype)
+        return out
+
+    # ----------------------------------------------------------- logging
+    def _setup_logging(self):
+        os.makedirs(self.cfg.log.root, exist_ok=True)
+        name = f"{self.cfg.model_name}_{self.cfg.dataset.name}"
+        log_path = os.path.join(
+            self.cfg.log.root, f"{name}_{time.strftime('%Y%m%d%H%M%S')}.log")
+        self.logger = logging.getLogger(f"TRAIN.{name}")
+        self.logger.setLevel(logging.INFO)
+        self.logger.handlers.clear()
+        fh = logging.FileHandler(log_path)
+        fh.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
+        self.logger.addHandler(fh)
+        self.logger.addHandler(logging.StreamHandler())
+        self.tb = None
+        if self.cfg.log.tensorboard_on:
+            try:
+                from tensorboardX import SummaryWriter
+                self.tb = SummaryWriter(
+                    os.path.join(self.cfg.log.tensorboard_dir, name))
+            except Exception as e:  # pragma: no cover
+                self.logger.info(f"tensorboard disabled: {e}")
+
+    # ------------------------------------------------------------- train
+    def train(self, max_steps: Optional[int] = None):
+        cfg = self.cfg
+        with self.mesh:
+            params = pmesh.shard_params(self.init_params, self.mesh)
+            batch_stats = jax.device_put(
+                self.init_batch_stats, pmesh.replicated(self.mesh))
+            state = TrainState.create(
+                params, batch_stats, self.tx,
+                use_ema=cfg.optimizer.ema_decay > 0)
+
+            ckpt_dir = cfg.train.save_path
+            start_epoch = 0
+            if cfg.train.resume_training and cfg.train.last_epoch >= 0:
+                path = self._ckpt_path(cfg.train.last_epoch)
+                state = CheckPoint.load(path, state)
+                start_epoch = cfg.train.last_epoch + 1
+                self.logger.info(f"resumed from {path}")
+
+            train_step = make_train_step(
+                self.model.apply, self.loss_fn, self.tx,
+                ema_decay=cfg.optimizer.ema_decay)
+
+            self.logger.info(f"config: {cfg}")
+            global_step = start_epoch * len(self.train_loader)
+            done = False
+            for epoch in range(start_epoch, cfg.train.epochs):
+                self.train_loader.set_epoch(epoch)
+                metrics_acc: Dict[str, MeanMetric] = {}
+                t_ep = time.time()
+                for bi, batch in enumerate(self.train_loader):
+                    state, metrics = train_step(state, self.device_batch(batch))
+                    global_step += 1
+                    if (bi + 1) % cfg.log.print_interval == 0 or bi == 0:
+                        metrics = {k: float(v) for k, v in
+                                   jax.device_get(metrics).items()}
+                        for k, v in metrics.items():
+                            metrics_acc.setdefault(k, MeanMetric()).update(v)
+                        lr = float(self.lr_schedule(global_step))
+                        msg = (f"epoch {epoch} step {bi + 1}/"
+                               f"{len(self.train_loader)} lr={lr:.2e} "
+                               + " ".join(f"{k}={v:.4f}"
+                                          for k, v in metrics.items()))
+                        self.logger.info(msg)
+                        if self.tb:
+                            self.tb.add_scalar("lr", lr, global_step)
+                            for k, v in metrics.items():
+                                self.tb.add_scalar(f"train/{k}", v, global_step)
+                    if max_steps and global_step >= max_steps:
+                        done = True
+                        break
+                self.logger.info(
+                    f"epoch {epoch} done in {time.time() - t_ep:.1f}s")
+                if (epoch + 1) % cfg.train.eval_interval == 0:
+                    val = self.evaluate_loop(state)
+                    self.logger.info(f"eval epoch {epoch}: {val}")
+                    if self.tb:
+                        for k, v in val.items():
+                            self.tb.add_scalar(f"val/{k}", v, global_step)
+                if (epoch + 1) % cfg.train.save_interval == 0 or done:
+                    path = self._ckpt_path(epoch)
+                    CheckPoint.save(state, path)
+                    self.logger.info(f"saved {path}")
+                if done:
+                    break
+            final = self._ckpt_path(cfg.train.epochs - 1, final=True)
+            CheckPoint.save(state, final)
+            self.logger.info(f"saved final {final}")
+            return state
+
+    def _ckpt_path(self, epoch: int, final: bool = False) -> str:
+        tag = "final" if final else f"epoch-{epoch}"
+        return os.path.join(
+            self.cfg.train.save_path,
+            f"{self.cfg.model_name}_{self.cfg.dataset.name}_{tag}.ckpt")
+
+    # -------------------------------------------------------------- eval
+    def evaluate_loop(self, state) -> Dict[str, float]:
+        """Default: mean val loss (reference yolo8_train.py:113-129)."""
+        eval_step = getattr(self, "_eval_step", None)
+        if eval_step is None:
+            self._eval_step = eval_step = make_eval_step(
+                self.model.apply, self.loss_fn)
+        acc: Dict[str, MeanMetric] = {}
+        for batch in self.val_loader:
+            metrics = jax.device_get(eval_step(state, self.device_batch(batch)))
+            for k, v in metrics.items():
+                acc.setdefault(k, MeanMetric()).update(float(v))
+        return {f"val_{k}": m.result() for k, m in acc.items()}
