@@ -1,0 +1,80 @@
+"""Model converter CLI (reference ``convert_model.py:9-68``): extract plain
+inference weights from a tpucv training checkpoint, or import an
+ultralytics/torch ``.pt``/``.pth`` state_dict into tpucv variables."""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def extract_from_checkpoint(model_name: str, ckpt_path: str, out_path: str):
+    """Training TrainState bundle -> pure {params, batch_stats} file
+    (reference CheckPointModel, convert_model.py:9-44)."""
+    from tpucv.builder import export_from_registry
+    from tpucv.ckpt.checkpoint import CheckPoint
+    import optax
+    from tpucv.train.state import TrainState
+
+    cfg, algo_cls, _ = export_from_registry(model_name)
+    algo = algo_cls(cfg)
+    variables = algo.init_variables()
+    tx = optax.adam(1e-3)
+    template = TrainState.create(
+        dict(variables["params"]), dict(variables.get("batch_stats", {})), tx)
+    state = CheckPoint.load(ckpt_path, template)
+    CheckPoint.save_pure(
+        {"params": state.params, "batch_stats": state.batch_stats}, out_path)
+    print(f"wrote {out_path}")
+
+
+def extract_weights_from_torch_model(model_name: str, pt_path: str,
+                                     out_path: str):
+    """torch .pt/.pth -> tpucv variables via the weight importer
+    (reference extract_weights_from_ultralytics_model, convert_model.py:46-68).
+    """
+    import torch
+    from tpucv.builder import export_from_registry
+    from tpucv.ckpt.checkpoint import CheckPoint
+    from tpucv.ckpt.importer import import_yolov8, merge_into_variables
+
+    obj = torch.load(pt_path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        sd = obj.state_dict()
+    elif isinstance(obj, dict) and "model" in obj and hasattr(
+            obj["model"], "state_dict"):
+        sd = obj["model"].float().state_dict()
+    elif isinstance(obj, dict):
+        sd = obj.get("state_dict", obj)
+    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+          for k, v in sd.items()}
+
+    cfg, algo_cls, _ = export_from_registry(model_name)
+    algo = algo_cls(cfg)
+    variables = algo.init_variables()
+    if model_name != "yolo8_det":
+        raise NotImplementedError(
+            "torch import currently supports yolo8_det; other families load "
+            "tpucv checkpoints directly")
+    imported = import_yolov8(sd)
+    merged = merge_into_variables(
+        {"params": dict(variables["params"]),
+         "batch_stats": dict(variables["batch_stats"])}, imported)
+    CheckPoint.save_pure(merged, out_path)
+    print(f"wrote {out_path}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--src", required=True, help="input .ckpt or torch .pt")
+    ap.add_argument("--dst", required=True, help="output weights file")
+    args = ap.parse_args()
+    if args.src.endswith((".pt", ".pth")):
+        extract_weights_from_torch_model(args.model, args.src, args.dst)
+    else:
+        extract_from_checkpoint(args.model, args.src, args.dst)
+
+
+if __name__ == "__main__":
+    main()

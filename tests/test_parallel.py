@@ -1,0 +1,70 @@
+"""Mesh/sharding correctness on the 8-device CPU mesh: DP gradient averaging
+equals single-device full-batch gradients (the property NCCL allreduce would
+provide; here XLA inserts the collective from shardings)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpucv.parallel import mesh as pmesh
+from tpucv.train.schedules import warmup_multistep
+from tpucv.train.state import TrainState, make_train_step
+
+
+def test_mesh_shapes():
+    m = pmesh.create_mesh()
+    assert m.shape["data"] * m.shape["model"] == len(jax.devices())
+
+
+def test_dp_grads_match_single_device():
+    from flax import linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Dense(8, name="d1")(x)
+            x = nn.relu(x)
+            # track a batch stat to exercise the mutable path
+            nn.BatchNorm(use_running_average=not train, name="bn")(x)
+            return nn.Dense(1, name="d2")(x)
+
+    model = Tiny()
+    x = np.random.default_rng(0).normal(size=(8, 4)).astype(np.float32)
+    y = np.random.default_rng(1).normal(size=(8, 1)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss_fn(raw, batch):
+        l = jnp.mean((raw - batch["y"]) ** 2)
+        return l, {}
+
+    tx = optax.sgd(0.1)
+
+    def run(mesh):
+        with mesh:
+            params = pmesh.shard_params(variables["params"], mesh)
+            bs = jax.device_put(variables["batch_stats"],
+                                pmesh.replicated(mesh))
+            state = TrainState.create(params, bs, tx)
+            batch = pmesh.shard_batch({"images": x, "y": y}, mesh)
+            step = make_train_step(model.apply, loss_fn, tx, donate=False)
+            new_state, metrics = step(state, batch)
+            return (jax.device_get(new_state.params),
+                    float(metrics["loss"]))
+
+    p8, l8 = run(pmesh.create_mesh(8, 1))
+    p1, l1 = run(pmesh.create_mesh(1, 1, jax.devices()[:1]))
+    assert abs(l8 - l1) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(p8),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_warmup_multistep_schedule_values():
+    sched = warmup_multistep(1.0, 10, [100, 200], 0.1)
+    assert abs(float(sched(0)) - 0.1) < 1e-6         # (0+1)/10
+    assert abs(float(sched(9)) - 1.0) < 1e-6
+    assert abs(float(sched(50)) - 1.0) < 1e-6
+    assert abs(float(sched(150)) - 0.1) < 1e-6
+    assert abs(float(sched(250)) - 0.01) < 1e-6

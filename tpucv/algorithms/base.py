@@ -1,0 +1,150 @@
+"""Shared detection-algorithm skeleton.
+
+Every reference algorithm class repeats predict / VOC eval / COCO eval
+plumbing (SURVEY §1.5); here it is written once against the uniform infer
+contract: ``infer_fn(variables, uint8 batch) -> (boxes xyxy px, scores,
+classes, valid)`` with fixed shapes. Eval is batched and device-resident.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpucv.configs.dataset_cfg import get_dataset_cfg
+from tpucv.utils.image_process import letter_box, read_image, reverse_letter_box
+from tpucv.utils.visualize import show_detection_results
+
+
+class DetectionAlgorithm:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.input_size = cfg.dataset.input_size
+        self.dtype = jnp.bfloat16 if cfg.train.mixed_precision else jnp.float32
+        self.class_names = get_dataset_cfg(cfg.dataset.name)["classes"]
+
+    # -------- subclass contract ------------------------------------------
+    def build_model(self):
+        raise NotImplementedError
+
+    def build_loss(self):
+        raise NotImplementedError
+
+    def make_infer_fn(self, model=None, conf_threshold: Optional[float] = None):
+        raise NotImplementedError
+
+    def init_variables(self, model=None, seed: int = 0):
+        model = model or self.build_model()
+        s = self.input_size
+        return jax.jit(model.init)(
+            jax.random.PRNGKey(seed), jnp.zeros((1, s, s, 3), self.dtype))
+
+    # -------- shared inference plumbing ----------------------------------
+    def predict(self, variables, image_path: str, infer_fn=None,
+                save_dir: Optional[str] = "detect_results"):
+        infer_fn = infer_fn or self.make_infer_fn()
+        img = read_image(image_path)
+        s = self.input_size
+        canvas, scale, pad = letter_box(img, (s, s))
+        boxes, scores, classes, valid = jax.device_get(
+            infer_fn(variables, jnp.asarray(canvas[None])))
+        v = np.asarray(valid[0])
+        boxes = reverse_letter_box(
+            np.asarray(boxes[0])[v], scale, pad, img.shape[:2])
+        scores, classes = np.asarray(scores[0])[v], np.asarray(classes[0])[v]
+        out_path = None
+        if save_dir:
+            name = os.path.splitext(os.path.basename(image_path))[0]
+            out_path = show_detection_results(
+                img, boxes, scores, classes, self.class_names, save_dir, name)
+        return {"boxes": boxes, "scores": scores, "classes": classes,
+                "image": img, "saved": out_path}
+
+    def _batched_detections(self, variables, index, batch_size: int,
+                            conf_threshold: float):
+        infer = self.make_infer_fn(conf_threshold=conf_threshold)
+        s = self.input_size
+        n = len(index)
+        for start in range(0, n, batch_size):
+            idxs = list(range(start, min(start + batch_size, n)))
+            canvases, metas = [], []
+            for i in idxs:
+                path, _, _ = index[i]
+                img = read_image(path) if isinstance(path, str) else path
+                canvas, scale, pad = letter_box(img, (s, s))
+                canvases.append(canvas)
+                metas.append((scale, pad, img.shape[:2]))
+            while len(canvases) < batch_size:  # static batch shape
+                canvases.append(np.zeros_like(canvases[0]))
+            boxes_b, scores_b, classes_b, valid_b = jax.device_get(
+                infer(variables, jnp.asarray(np.stack(canvases))))
+            for j, i in enumerate(idxs):
+                scale, pad, oshape = metas[j]
+                v = valid_b[j]
+                boxes = reverse_letter_box(boxes_b[j][v], scale, pad, oshape)
+                yield i, boxes, scores_b[j][v], classes_b[j][v]
+
+    # -------- evaluation harnesses ---------------------------------------
+    def evaluate_on_coco(self, variables, index, batch_size: int = 32,
+                         conf_threshold: float = 0.001,
+                         result_dir: str = "result") -> Dict[str, float]:
+        from tpucv.metrics.coco_map import COCOMeanAP
+
+        dts = []
+        for i, boxes, scores, classes in self._batched_detections(
+                variables, index, batch_size, conf_threshold):
+            img_id = index.image_id(i)
+            for b, s_, c in zip(boxes, scores, classes):
+                dts.append({
+                    "image_id": img_id,
+                    "category_id": index.contig_to_cat[int(c)],
+                    "bbox": [float(b[0]), float(b[1]),
+                             float(b[2] - b[0]), float(b[3] - b[1])],
+                    "score": float(s_),
+                })
+        os.makedirs(result_dir, exist_ok=True)
+        with open(os.path.join(result_dir, "eval_results.json"), "w") as f:
+            json.dump(dts, f)
+        gts = []
+        for i in range(len(index)):
+            _, boxes, labels = index[i]
+            img_id = index.image_id(i)
+            for b, l in zip(boxes, labels):
+                gts.append({
+                    "image_id": img_id,
+                    "category_id": index.contig_to_cat[int(l)],
+                    "bbox": [float(b[0]), float(b[1]),
+                             float(b[2] - b[0]), float(b[3] - b[1])],
+                    "area": float((b[2] - b[0]) * (b[3] - b[1])),
+                    "iscrowd": 0,
+                })
+        ev = COCOMeanAP(gts, dts, index.cat_ids).accumulate()
+        stats = ev.summarize()
+        ev.print_summary(stats)
+        return stats
+
+    def evaluate_on_voc(self, variables, index, batch_size: int = 32,
+                        conf_threshold: float = 0.001,
+                        iou_threshold: float = 0.5) -> Dict:
+        from tpucv.metrics.voc_map import evaluate_voc_map, print_voc_map
+
+        dts, gts = [], []
+        for i, boxes, scores, classes in self._batched_detections(
+                variables, index, batch_size, conf_threshold):
+            for b, s_, c in zip(boxes, scores, classes):
+                dts.append({"image_id": i, "class_id": int(c),
+                            "bbox": b.tolist(), "score": float(s_)})
+        for i in range(len(index)):
+            _, boxes, labels = index[i]
+            for b, l in zip(boxes, labels):
+                gts.append({"image_id": i, "class_id": int(l),
+                            "bbox": np.asarray(b).tolist()})
+        res = evaluate_voc_map(gts, dts, self.class_names, iou_threshold)
+        print_voc_map(res)
+        return res

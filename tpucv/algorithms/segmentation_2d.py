@@ -1,0 +1,115 @@
+"""DeepLabV3+ algorithm façade (reference
+``core/algorithms/segmentation_2d.py:42-177``): loss factory (CE/focal),
+argmax -> colormap postprocess (:20-29), blend overlay (:32-39), VOC mIoU
+eval (:115-166)."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpucv.data.segmentation_dataset import VOC_COLORMAP
+from tpucv.losses.segmentation import cross_entropy_loss, focal_loss
+from tpucv.metrics.seg_metrics import SegmentationMetrics
+from tpucv.models.deeplabv3plus import DeeplabV3Plus
+from tpucv.ops.preprocess import imagenet_normalize, normalize_images
+from tpucv.registry import model_registry
+from tpucv.utils.image_process import read_image
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+def postprocess_seg2d(class_map: np.ndarray) -> np.ndarray:
+    """Class indices -> RGB colormap image (reference :20-29)."""
+    cm = np.asarray(VOC_COLORMAP, np.uint8)
+    return cm[np.clip(class_map, 0, len(cm) - 1)]
+
+
+def blend(image_rgb: np.ndarray, seg_rgb: np.ndarray,
+          alpha: float = 0.6) -> np.ndarray:
+    """Overlay the colourised mask on the image (reference :32-39)."""
+    return (image_rgb * (1 - alpha) + seg_rgb * alpha).astype(np.uint8)
+
+
+@model_registry("deeplabv3plus")
+class DeeplabV3PlusA:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.nc = cfg.num_classes
+        self.input_size = cfg.dataset.input_size
+        self.dtype = jnp.bfloat16 if cfg.train.mixed_precision else jnp.float32
+
+    def build_model(self) -> DeeplabV3Plus:
+        return DeeplabV3Plus(
+            num_classes=self.nc, backbone=self.cfg.arch.backbone,
+            output_stride=self.cfg.arch.output_stride, dtype=self.dtype)
+
+    def init_variables(self, model=None, seed: int = 0):
+        model = model or self.build_model()
+        s = self.cfg.arch.crop_size
+        return jax.jit(model.init)(
+            jax.random.PRNGKey(seed), jnp.zeros((1, s, s, 3), self.dtype))
+
+    def build_loss(self):
+        l = self.cfg.loss
+
+        def loss_fn(raw, batch):
+            if l.name == "focal":
+                return focal_loss(raw, batch["labels"], l.alpha, l.gamma,
+                                  l.ignore_index)
+            return cross_entropy_loss(raw, batch["labels"], l.ignore_index)
+
+        return loss_fn
+
+    def make_infer_fn(self, model=None, **_):
+        model = model or self.build_model()
+
+        @jax.jit
+        def infer(variables, images_u8):
+            x = imagenet_normalize(normalize_images(images_u8, self.dtype))
+            logits = model.apply(variables, x)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        return infer
+
+    def predict(self, variables, image_path: str, infer_fn=None,
+                save_dir: Optional[str] = "detect_results"):
+        import os
+        import time
+        infer_fn = infer_fn or self.make_infer_fn()
+        img = read_image(image_path)
+        s = self.cfg.arch.crop_size
+        resized = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
+        cls_map = np.asarray(jax.device_get(
+            infer_fn(variables, jnp.asarray(resized[None]))))[0]
+        seg_rgb = postprocess_seg2d(cls_map)
+        seg_full = cv2.resize(seg_rgb, (img.shape[1], img.shape[0]),
+                              interpolation=cv2.INTER_NEAREST)
+        out = blend(img, seg_full)
+        path = None
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            name = os.path.splitext(os.path.basename(image_path))[0]
+            path = os.path.join(
+                save_dir, f"{name}@{time.strftime('%Y%m%d%H%M%S')}.jpg")
+            cv2.imwrite(path, cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
+        return {"class_map": cls_map, "overlay": out, "saved": path}
+
+    def evaluate_on_voc(self, variables, loader, **_) -> Dict[str, float]:
+        """Batched mIoU eval over a segmentation Loader."""
+        infer = self.make_infer_fn()
+        metrics = SegmentationMetrics(self.nc, self.cfg.loss.ignore_index)
+        for batch in loader:
+            pred = jax.device_get(
+                infer(variables, jnp.asarray(batch["images"])))
+            metrics.update(pred, batch["labels"])
+        out = metrics.compute()
+        print({k: v for k, v in out.items() if k != "per_class_iou"})
+        return out

@@ -15,15 +15,33 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 
+def detection_collate(samples) -> Dict[str, np.ndarray]:
+    imgs, labels, masks = zip(*samples)
+    lab = np.stack(labels)
+    return {
+        "images": np.stack(imgs),
+        "gt_labels": lab[..., 0].astype(np.int32),
+        "gt_bboxes": lab[..., 1:5],
+        "gt_mask": np.stack(masks),
+    }
+
+
+def segmentation_collate(samples) -> Dict[str, np.ndarray]:
+    imgs, labels, _ = zip(*samples)
+    return {"images": np.stack(imgs), "labels": np.stack(labels)}
+
+
 class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 seed: int = 0, drop_last: bool = True, prefetch: int = 2):
+                 seed: int = 0, drop_last: bool = True, prefetch: int = 2,
+                 collate=detection_collate):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.collate = collate
         self.epoch = 0
 
     def __len__(self):
@@ -36,19 +54,7 @@ class Loader:
             self.ds.set_epoch(epoch)
 
     def _make_batch(self, idxs) -> Dict[str, np.ndarray]:
-        imgs, labels, masks = [], [], []
-        for i in idxs:
-            img, lab, mask = self.ds[int(i)]
-            imgs.append(img)
-            labels.append(lab)
-            masks.append(mask)
-        lab = np.stack(labels)
-        return {
-            "images": np.stack(imgs),
-            "gt_labels": lab[..., 0].astype(np.int32),
-            "gt_bboxes": lab[..., 1:5],
-            "gt_mask": np.stack(masks),
-        }
+        return self.collate([self.ds[int(i)] for i in idxs])
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.ds)

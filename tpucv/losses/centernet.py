@@ -1,0 +1,62 @@
+"""CenterNet loss: penalty-reduced focal + masked L1 (reference
+``core/loss/centernet_loss.py``: FocalLoss :5-26, RegL1Loss w/ gather_feat
+:29-43, CombinedLoss :46-67)."""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpucv.targets.centernet import CenterNetTargets
+
+
+def penalty_reduced_focal(hm_logits: jax.Array, hm_true: jax.Array,
+                          eps: float = 1e-6) -> jax.Array:
+    """CornerNet/CenterNet focal: positives where hm_true == 1, negatives
+    weighted by (1 - hm_true)^4."""
+    p = jax.nn.sigmoid(hm_logits.astype(jnp.float32))
+    p = jnp.clip(p, eps, 1 - eps)
+    pos = hm_true >= 1.0 - 1e-6
+    pos_loss = -jnp.log(p) * (1 - p) ** 2
+    neg_loss = -jnp.log(1 - p) * p**2 * (1 - hm_true) ** 4
+    n_pos = jnp.maximum(pos.sum(), 1.0)
+    return (jnp.where(pos, pos_loss, neg_loss).sum()) / n_pos
+
+
+def gather_feat(feat: jax.Array, ind: jax.Array) -> jax.Array:
+    """(B, H*W, C) gather at (B, M) indices -> (B, M, C)
+    (reference RegL1Loss.gather_feat, centernet_loss.py:33-38)."""
+    return jnp.take_along_axis(
+        feat, ind[..., None].astype(jnp.int32), axis=1)
+
+
+def masked_l1(pred_map: jax.Array, target: jax.Array, ind: jax.Array,
+              mask: jax.Array) -> jax.Array:
+    """pred_map (B, H, W, 2) gathered at centres vs target (B, M, 2)."""
+    B, H, W, C = pred_map.shape
+    flat = pred_map.reshape(B, H * W, C).astype(jnp.float32)
+    picked = jnp.take_along_axis(
+        flat, jnp.repeat(ind[..., None], C, axis=-1).astype(jnp.int32), axis=1)
+    l1 = jnp.abs(picked - target).sum(-1)
+    n = jnp.maximum(mask.sum(), 1.0)
+    return jnp.where(mask, l1, 0.0).sum() / n
+
+
+def centernet_loss(
+    output: jax.Array,          # (B, H, W, C+4) [hm logits, wh, reg]
+    targets: CenterNetTargets,
+    num_classes: int,
+    hm_weight: float = 1.0,
+    wh_weight: float = 0.1,
+    off_weight: float = 1.0,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    hm = output[..., :num_classes]
+    wh = output[..., num_classes:num_classes + 2]
+    reg = output[..., num_classes + 2:num_classes + 4]
+    l_hm = penalty_reduced_focal(hm, targets.heatmap)
+    l_wh = masked_l1(wh, targets.wh, targets.ind, targets.mask)
+    l_off = masked_l1(reg, targets.reg, targets.ind, targets.mask)
+    total = hm_weight * l_hm + wh_weight * l_wh + off_weight * l_off
+    return total, {"hm_loss": l_hm, "wh_loss": l_wh, "off_loss": l_off}

@@ -101,6 +101,55 @@ def evaluate_voc_map(
     return {"mAP": mAP, "per_class": results, "iou_threshold": iou_threshold}
 
 
+def log_average_miss_rate(prec: np.ndarray, rec: np.ndarray,
+                          n_images: int) -> float:
+    """lamr over 9 log-spaced FPPI points (reference mAP.py:34-71)."""
+    if prec.size == 0:
+        return 0.0
+    fppi = (1 - prec) * (np.cumsum(np.ones_like(prec)) / max(n_images, 1))
+    mr = 1 - rec
+    fppi_tmp = np.concatenate([[-1.0], fppi])
+    mr_tmp = np.concatenate([[1.0], mr])
+    refs = np.logspace(-2, 0, 9)
+    ys = []
+    for r in refs:
+        j = np.where(fppi_tmp <= r)[0][-1]
+        ys.append(mr_tmp[j])
+    return float(np.exp(np.mean(np.log(np.maximum(np.array(ys), 1e-10)))))
+
+
+def save_plots(result: Dict, out_dir: str):
+    """AP bar chart + per-class PR curves (reference draw_plot_func,
+    mAP.py:208-300)."""
+    import os
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    names = sorted(result["per_class"].keys())
+    aps = [result["per_class"][n]["AP"] for n in names]
+    fig, ax = plt.subplots(figsize=(8, max(3, 0.3 * len(names))))
+    ax.barh(names, aps)
+    ax.set_xlabel("AP")
+    ax.set_title(f"mAP@{result['iou_threshold']:.2f} = "
+                 f"{result['mAP'] * 100:.2f}%")
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "mAP.png"))
+    plt.close(fig)
+    fig, ax = plt.subplots()
+    for n in names:
+        r = result["per_class"][n]
+        if len(r["recall"]):
+            ax.plot(r["recall"], r["precision"], label=n, linewidth=0.8)
+    ax.set_xlabel("recall")
+    ax.set_ylabel("precision")
+    if len(names) <= 25:
+        ax.legend(fontsize=5)
+    fig.savefig(os.path.join(out_dir, "pr_curves.png"))
+    plt.close(fig)
+
+
 def print_voc_map(result: Dict):
     for name, r in sorted(result["per_class"].items()):
         print(f"{r['AP'] * 100:.2f}% = {name} AP  (gt: {r['n_gt']})")

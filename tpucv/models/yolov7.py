@@ -1,0 +1,207 @@
+"""YOLOv7 (l/x) detector, TPU-native.
+
+Re-design of the reference network (``core/models/yolov7_model.py``): E-ELAN
+backbone (Backbone :86-141, Multi_Concat_Block :28-52), Transition_Block
+dual-path downsampling (:64-83), SPPCSPC (:144-163), RepConv with deploy-time
+reparameterisation (:166-331), PAN head + 3 anchor heads (:355-461).
+
+The network returns raw per-level maps (B, H, W, na*(5+nc)); anchor decode
+lives in ``tpucv.decode.yolov7``. RepConv keeps its 3x3+1x1(+id) training
+branches; ``fuse_repconv_params`` folds them into a single conv for deploy
+(parity with reference ``fuse`` :452-461).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tpucv.nn.blocks import ConvBnAct, max_pool_same
+
+Dtype = Any
+
+
+class MultiConcat(nn.Module):
+    """E-ELAN computation block (reference Multi_Concat_Block :28-52).
+
+    cv1/cv2 are 1x1 to ``mid``; then ``n`` 3x3 convs of ``mid2`` channels;
+    selected outputs (``ids`` into [cv1, cv2, o1..on]) concat into cv_out.
+    """
+
+    mid: int
+    mid2: int
+    out_ch: int
+    n: int = 4
+    ids: Tuple[int, ...] = (-1, -3, -5, -6)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x1 = ConvBnAct(self.mid, 1, dtype=self.dtype, name="cv1")(x, train)
+        x2 = ConvBnAct(self.mid, 1, dtype=self.dtype, name="cv2")(x, train)
+        outs = [x1, x2]
+        y = x2
+        for i in range(self.n):
+            y = ConvBnAct(self.mid2, 3, dtype=self.dtype, name=f"cv3_{i}")(
+                y, train)
+            outs.append(y)
+        sel = [outs[i] for i in self.ids]
+        y = jnp.concatenate(sel, axis=-1)
+        return ConvBnAct(self.out_ch, 1, dtype=self.dtype, name="cv4")(y, train)
+
+
+class Transition(nn.Module):
+    """Dual-path downsample (reference Transition_Block :64-83): maxpool+1x1
+    alongside 1x1+3x3(s2); concat -> 2*ch."""
+
+    ch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # torch MaxPool2d(2,2): no padding
+        a = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+            ((0, 0), (0, 0), (0, 0), (0, 0)))
+        a = ConvBnAct(self.ch, 1, dtype=self.dtype, name="cv1")(a, train)
+        b = ConvBnAct(self.ch, 1, dtype=self.dtype, name="cv2")(x, train)
+        b = ConvBnAct(self.ch, 3, 2, dtype=self.dtype, name="cv3")(b, train)
+        return jnp.concatenate([b, a], axis=-1)
+
+
+class SPPCSPC(nn.Module):
+    """CSP spatial pyramid pooling (reference :144-163)."""
+
+    out_ch: int
+    ks: Tuple[int, ...] = (5, 9, 13)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.out_ch
+        y = ConvBnAct(c_, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBnAct(c_, 3, dtype=self.dtype, name="cv3")(y, train)
+        y = ConvBnAct(c_, 1, dtype=self.dtype, name="cv4")(y, train)
+        pools = [y] + [max_pool_same(y, k) for k in self.ks]
+        z = jnp.concatenate(pools, axis=-1)
+        z = ConvBnAct(c_, 1, dtype=self.dtype, name="cv5")(z, train)
+        z = ConvBnAct(c_, 3, dtype=self.dtype, name="cv6")(z, train)
+        shortcut = ConvBnAct(c_, 1, dtype=self.dtype, name="cv2")(x, train)
+        return ConvBnAct(self.out_ch, 1, dtype=self.dtype, name="cv7")(
+            jnp.concatenate([z, shortcut], axis=-1), train)
+
+
+class RepConv(nn.Module):
+    """Re-parameterisable conv (reference :166-331): train-time
+    3x3BN + 1x1BN (+ identity BN when in==out), summed, SiLU."""
+
+    out_ch: int
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dense = nn.Conv(self.out_ch, (3, 3), (self.s, self.s),
+                        padding=((1, 1), (1, 1)), use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name="dense_conv")(x)
+        dense = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                             epsilon=1e-3, dtype=self.dtype,
+                             param_dtype=jnp.float32, name="dense_bn")(dense)
+        one = nn.Conv(self.out_ch, (1, 1), (self.s, self.s), use_bias=False,
+                      dtype=self.dtype, param_dtype=jnp.float32,
+                      name="one_conv")(x)
+        one = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                           epsilon=1e-3, dtype=self.dtype,
+                           param_dtype=jnp.float32, name="one_bn")(one)
+        y = dense + one
+        if x.shape[-1] == self.out_ch and self.s == 1:
+            idn = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                               epsilon=1e-3, dtype=self.dtype,
+                               param_dtype=jnp.float32, name="id_bn")(x)
+            y = y + idn
+        return nn.silu(y)
+
+
+# per-phi structural constants (reference Backbone :86-141 / yolov7 cfgs)
+PHI = {
+    "l": dict(stem=(32, 64, 64), base=64, elan_n=4,
+              ids=(-1, -3, -5, -6), head_ids=(-1, -2, -3, -4, -5, -6)),
+    "x": dict(stem=(40, 80, 80), base=80, elan_n=6,
+              ids=(-1, -3, -5, -7, -8), head_ids=(-1, -3, -5, -7, -8)),
+}
+
+
+class Yolo7(nn.Module):
+    """Returns raw maps [(B,H/8,W/8,na*(5+nc)), /16, /32]."""
+
+    nc: int = 20
+    na: int = 3
+    phi: str = "l"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jax.Array, ...]:
+        p = PHI[self.phi]
+        dt = self.dtype
+        base = p["base"]
+        n, ids, hids = p["elan_n"], p["ids"], p["head_ids"]
+
+        # stem
+        s0, s1, s2 = p["stem"]
+        x = ConvBnAct(s0, 3, 1, dtype=dt, name="stem0")(x, train)
+        x = ConvBnAct(s1, 3, 2, dtype=dt, name="stem1")(x, train)      # /2
+        x = ConvBnAct(s2, 3, 1, dtype=dt, name="stem2")(x, train)
+        x = ConvBnAct(base * 2, 3, 2, dtype=dt, name="stem3")(x, train)  # /4
+
+        # backbone ELAN stages
+        x = MultiConcat(base, base, base * 4, n, ids, dtype=dt,
+                        name="elan1")(x, train)                         # 256
+        x = Transition(base * 2, dtype=dt, name="mp1")(x, train)        # /8
+        p3 = MultiConcat(base * 2, base * 2, base * 8, n, ids, dtype=dt,
+                         name="elan2")(x, train)                        # 512
+        x = Transition(base * 4, dtype=dt, name="mp2")(p3, train)       # /16
+        p4 = MultiConcat(base * 4, base * 4, base * 16, n, ids, dtype=dt,
+                         name="elan3")(x, train)                        # 1024
+        x = Transition(base * 8, dtype=dt, name="mp3")(p4, train)       # /32
+        p5 = MultiConcat(base * 4, base * 4, base * 16, n, ids, dtype=dt,
+                         name="elan4")(x, train)                        # 1024
+
+        # head
+        sppc = SPPCSPC(base * 8, dtype=dt, name="sppcspc")(p5, train)   # 512
+        up1 = ConvBnAct(base * 4, 1, dtype=dt, name="up1_conv")(sppc, train)
+        up1 = _up2(up1)
+        l4 = ConvBnAct(base * 4, 1, dtype=dt, name="p4_lat")(p4, train)
+        h4 = MultiConcat(base * 4, base * 2, base * 4, n, hids, dtype=dt,
+                         name="helan1")(jnp.concatenate([l4, up1], -1), train)
+        up2 = ConvBnAct(base * 2, 1, dtype=dt, name="up2_conv")(h4, train)
+        up2 = _up2(up2)
+        l3 = ConvBnAct(base * 2, 1, dtype=dt, name="p3_lat")(p3, train)
+        h3 = MultiConcat(base * 2, base, base * 2, n, hids, dtype=dt,
+                         name="helan2")(jnp.concatenate([l3, up2], -1), train)
+
+        d3 = Transition(base * 2, dtype=dt, name="down1")(h3, train)
+        h4b = MultiConcat(base * 4, base * 2, base * 4, n, hids, dtype=dt,
+                          name="helan3")(jnp.concatenate([d3, h4], -1), train)
+        d4 = Transition(base * 4, dtype=dt, name="down2")(h4b, train)
+        h5 = MultiConcat(base * 8, base * 4, base * 8, n, hids, dtype=dt,
+                         name="helan4")(jnp.concatenate([d4, sppc], -1), train)
+
+        outs = []
+        no = self.na * (5 + self.nc)
+        for i, (f, ch) in enumerate(
+                zip((h3, h4b, h5), (base * 4, base * 8, base * 16))):
+            y = RepConv(ch, dtype=dt, name=f"rep{i}")(f, train)
+            y = nn.Conv(no, (1, 1), use_bias=True, dtype=dt,
+                        param_dtype=jnp.float32, name=f"head{i}")(y)
+            outs.append(y)
+        return tuple(outs)
+
+
+def _up2(x: jax.Array) -> jax.Array:
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)

@@ -32,8 +32,12 @@ def nms(
     scores: jax.Array,
     iou_threshold: float = 0.45,
     max_det: int = 300,
+    diou: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Greedy NMS over N xyxy boxes.
+
+    With ``diou=True`` the suppression criterion is distance-IoU (reference
+    ``core/utils/nms.py:9-31`` python-loop diou_nms, used by CenterNet).
 
     Args:
       boxes: (N, 4) xyxy.
@@ -44,6 +48,7 @@ def nms(
     n = boxes.shape[0]
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     areas = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
+    cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
 
     def body(state, _):
         live_scores, = state
@@ -57,6 +62,11 @@ def nms(
         yy2 = jnp.minimum(y2[best], y2)
         inter = jnp.clip(xx2 - xx1, 0) * jnp.clip(yy2 - yy1, 0)
         iou = inter / (areas[best] + areas - inter + 1e-7)
+        if diou:
+            cw = jnp.maximum(x2[best], x2) - jnp.minimum(x1[best], x1)
+            ch = jnp.maximum(y2[best], y2) - jnp.minimum(y1[best], y1)
+            rho2 = (cx[best] - cx) ** 2 + (cy[best] - cy) ** 2
+            iou = iou - rho2 / (cw**2 + ch**2 + 1e-7)
         suppress = iou > iou_threshold
         live_scores = jnp.where(suppress, NEG_INF, live_scores)
         live_scores = live_scores.at[best].set(NEG_INF)
@@ -65,6 +75,62 @@ def nms(
     init = (jnp.where(scores > 0, scores, NEG_INF),)
     _, (idx, valid) = jax.lax.scan(body, init, None, length=max_det)
     return idx, valid
+
+
+def nms_fixpoint(
+    boxes: jax.Array,
+    scores: jax.Array,
+    iou_threshold: float = 0.45,
+    max_det: int = 300,
+    max_iters: int = 64,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact greedy NMS via suppression-wave fixpoint — the TPU-shaped
+    formulation.
+
+    The scan formulation (``nms``) runs ``max_det`` tiny sequential steps,
+    each latency-bound on TPU. Here candidates are score-sorted once, the
+    (N, N) IoU matrix is computed once, and suppression propagates in wide
+    O(N^2) VPU iterations until fixpoint: box i is suppressed iff some
+    higher-ranked *surviving* box overlaps it. At fixpoint this equals the
+    greedy keep-set exactly; realistic box sets converge in <10 iterations.
+
+    Returns (indices into the input (max_det,), valid (max_det,)).
+    """
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores, stable=True)
+    b = boxes[order]
+    s = scores[order]
+    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    area = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
+    ix = jnp.clip(jnp.minimum(x2[:, None], x2[None]) -
+                  jnp.maximum(x1[:, None], x1[None]), 0)
+    iy = jnp.clip(jnp.minimum(y2[:, None], y2[None]) -
+                  jnp.maximum(y1[:, None], y1[None]), 0)
+    inter = ix * iy
+    iou = inter / (area[:, None] + area[None] - inter + 1e-7)
+    # overlap[i, j]: higher-ranked j (j < i) overlaps i above threshold
+    overlap = (iou > iou_threshold) & jnp.tril(jnp.ones((n, n), bool), k=-1)
+    invalid = s <= 0
+
+    def cond(state):
+        it, changed, _ = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        it, _, suppressed = state
+        active = ~suppressed & ~invalid
+        new_sup = jnp.any(overlap & active[None, :], axis=1) | invalid
+        changed = jnp.any(new_sup != suppressed)
+        return it + 1, changed, new_sup
+
+    _, _, suppressed = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.bool_(True), invalid))
+    keep = ~suppressed & ~invalid
+    keep_scores = jnp.where(keep, s, NEG_INF)
+    top_scores, top_pos = jax.lax.top_k(keep_scores, max_det)
+    valid = top_scores > NEG_INF / 2
+    idx = order[top_pos]
+    return idx.astype(jnp.int32), valid
 
 
 def batched_nms(
@@ -82,7 +148,7 @@ def batched_nms(
     else:
         offset = class_ids.astype(boxes.dtype)[:, None] * 7680.0
         off_boxes = boxes + offset
-    return nms(off_boxes, scores, iou_threshold, max_det)
+    return nms_fixpoint(off_boxes, scores, iou_threshold, max_det)
 
 
 def non_max_suppression(
@@ -131,5 +197,46 @@ def non_max_suppression(
 
 batched_non_max_suppression = jax.vmap(
     non_max_suppression, in_axes=(0, None, None, None, None, None),
+    out_axes=0,
+)
+
+
+def non_max_suppression_multilabel(
+    boxes: jax.Array,
+    cls_scores: jax.Array,
+    conf_threshold: float = 0.01,
+    iou_threshold: float = 0.45,
+    max_det: int = 100,
+    pre_nms_topk: int = 1024,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Per-class NMS in the reference's SSD/YOLOv7 style
+    (``core/algorithms/ssd.py:236-288``, ``yolo_v7.py:348-422``): every
+    (anchor, class) pair above threshold is an independent candidate.
+
+    Implemented statically: flatten (A, nc) scores, top-k pre-NMS candidates,
+    then class-offset NMS — identical keep-set to looping classes.
+
+    Args:
+      boxes: (A, 4) xyxy; cls_scores: (A, nc) probabilities.
+    """
+    A, nc = cls_scores.shape
+    flat = jnp.where(cls_scores > conf_threshold, cls_scores, 0.0).reshape(-1)
+    k = min(pre_nms_topk, A * nc)
+    top_scores, top_idx = jax.lax.top_k(flat, k)
+    anchor_idx = top_idx // nc
+    cls_idx = (top_idx % nc).astype(jnp.int32)
+    cand_boxes = boxes[anchor_idx]
+    idx, valid = batched_nms(cand_boxes, top_scores, cls_idx,
+                             iou_threshold, max_det)
+    out_boxes = cand_boxes[idx]
+    out_scores = jnp.where(valid, top_scores[idx], 0.0)
+    out_cls = cls_idx[idx]
+    valid = valid & (out_scores > conf_threshold)
+    out_boxes = jnp.where(valid[:, None], out_boxes, 0.0)
+    return out_boxes, out_scores, out_cls, valid
+
+
+batched_non_max_suppression_multilabel = jax.vmap(
+    non_max_suppression_multilabel, in_axes=(0, 0, None, None, None, None),
     out_axes=0,
 )

@@ -46,6 +46,18 @@ def warmup_multistep(
     return schedule
 
 
+def untuned_linear_warmup_period(beta2: float = 0.999) -> int:
+    """Adam-rule warmup length (vendored pytorch_warmup ``UntunedLinearWarmup``
+    semantics, reference warm_up.py:118-137): period = 2/(1-beta2)."""
+    import math
+    return int(math.ceil(2.0 / (1.0 - beta2)))
+
+
+def untuned_exponential_warmup_tau(beta2: float = 0.999) -> float:
+    """Reference warm_up.py:140-159: tau = 1/(1-beta2)."""
+    return 1.0 / (1.0 - beta2)
+
+
 def cosine_with_warmup(
     base_lr: float, warmup_iters: int, total_iters: int,
     final_scale: float = 0.01,

@@ -60,10 +60,13 @@ def make_train_step(
     """
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+
         def compute(params):
             raw, updates = apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["images"], train=True, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
             )
             loss, metrics = loss_fn(raw, batch)
             return loss, (metrics, updates["batch_stats"])

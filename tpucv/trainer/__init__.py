@@ -1,2 +1,6 @@
 from tpucv.trainer.base import BaseTrainer, MeanMetric  # noqa: F401
 from tpucv.trainer.yolo8_train import Yolo8Trainer  # noqa: F401
+from tpucv.trainer.ssd_train import SsdTrainer  # noqa: F401
+from tpucv.trainer.centernet_train import CenterNetTrainer  # noqa: F401
+from tpucv.trainer.segmentation_trainer import DeeplabV3PlusTrainer  # noqa: F401
+from tpucv.trainer.yolo7_train import Yolo7Trainer  # noqa: F401

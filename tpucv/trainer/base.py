@@ -56,7 +56,13 @@ class BaseTrainer:
     def __init__(self, cfg, use_synthetic_fallback: bool = True):
         self.cfg = cfg
         self.use_synthetic_fallback = use_synthetic_fallback
-        self.mesh = pmesh.create_mesh()
+        # largest device count that divides the batch (a 8-device CPU test
+        # mesh with batch 2 must degrade to 2-way DP, not crash)
+        n_dev = len(jax.devices())
+        bs = cfg.train.batch_size
+        n_data = next(d for d in range(min(n_dev, bs), 0, -1)
+                      if bs % d == 0 and n_dev % d == 0)
+        self.mesh = pmesh.create_mesh(n_data, 1, jax.devices()[:n_data])
         self.compute_dtype = (jnp.bfloat16 if cfg.train.mixed_precision
                               else jnp.float32)
 
