@@ -22,18 +22,18 @@ def main():
     from tpucv.models import get_yolo8_n
     from tpucv.decode.yolov8 import decode_boxes
 
-    batch = 64
+    from tpucv.algorithms.base import init_on_cpu
+
+    batch = 128
     model = get_yolo8_n(dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
-    variables = jax.jit(model.init)(
-        rng, jnp.zeros((1, 640, 640, 3), jnp.bfloat16))
+    variables = init_on_cpu(model, (1, 640, 640, 3), jnp.bfloat16)
 
     @jax.jit
     def infer(v, x):
         raw = model.apply(v, x)
         boxes, scores, classes, valid = decode_boxes(
             raw, conf_threshold=0.25, iou_threshold=0.7, max_det=300,
-            pre_nms_topk=2048)
+            pre_nms_topk=512)
         # reduce to a tiny fetchable fence value that depends on everything
         return boxes.sum() + scores.sum() + valid.sum()
 

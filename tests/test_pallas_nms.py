@@ -1,0 +1,41 @@
+"""Pallas NMS kernel vs reference greedy NMS (interpret mode on CPU)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tpucv.ops.nms import nms
+from tpucv.ops.pallas_nms import pallas_nms
+
+
+def _case(seed, n=128):
+    rng = np.random.default_rng(seed)
+    cxy = rng.uniform(0, 300, (n, 2))
+    wh = rng.uniform(5, 120, (n, 2))
+    boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], axis=1)
+    scores = rng.uniform(0.01, 1.0, n)
+    return (jnp.asarray(boxes, jnp.float32)[None],
+            jnp.asarray(scores, jnp.float32)[None])
+
+
+def test_pallas_nms_matches_greedy():
+    for seed in range(5):
+        boxes, scores = _case(seed)
+        idx_p, v_p = pallas_nms(boxes, scores, 0.5, 128, interpret=True)
+        idx_s, v_s = nms(boxes[0], scores[0], 0.5, 128)
+        keep_p = set(np.asarray(idx_p[0])[np.asarray(v_p[0])].tolist())
+        keep_s = set(np.asarray(idx_s)[np.asarray(v_s)].tolist())
+        assert keep_p == keep_s, f"seed {seed}"
+
+
+def test_pallas_nms_batched():
+    b1, s1 = _case(10)
+    b2, s2 = _case(11)
+    boxes = jnp.concatenate([b1, b2])
+    scores = jnp.concatenate([s1, s2])
+    idx, valid = pallas_nms(boxes, scores, 0.5, 32, interpret=True)
+    assert idx.shape == (2, 32)
+    # per-image results match running each alone
+    idx1, v1 = pallas_nms(b1, s1, 0.5, 32, interpret=True)
+    assert set(np.asarray(idx[0])[np.asarray(valid[0])].tolist()) == \
+        set(np.asarray(idx1[0])[np.asarray(v1[0])].tolist())

@@ -22,6 +22,22 @@ from tpucv.utils.image_process import letter_box, read_image, reverse_letter_box
 from tpucv.utils.visualize import show_detection_results
 
 
+def init_on_cpu(model, shape, dtype, seed: int = 0):
+    """Initialise parameters on the host CPU backend and ship them to the
+    default device. Model graphs here are large (DLA-34's init alone takes
+    ~30 s to compile on CPU XLA); compiling init through a remote TPU
+    compile service takes many minutes, while the transfer of the finished
+    (tiny) param pytree is instant. Numerics are identical."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(seed),
+            jnp.zeros(shape, dtype))
+    if jax.default_backend() != "cpu":
+        variables = jax.device_put(jax.device_get(variables))
+    return variables
+
+
 class DetectionAlgorithm:
     def __init__(self, cfg):
         self.cfg = cfg
@@ -39,11 +55,18 @@ class DetectionAlgorithm:
     def make_infer_fn(self, model=None, conf_threshold: Optional[float] = None):
         raise NotImplementedError
 
+    @property
+    def init_size(self) -> int:
+        """Spatial size used for parameter init. Fully-convolutional models
+        have size-independent params, so init compiles at a small size (the
+        remote-compile path takes minutes at full resolution otherwise).
+        Models with size-locked geometry (SSD) override this."""
+        return min(self.input_size, 128) // 32 * 32 or 32
+
     def init_variables(self, model=None, seed: int = 0):
         model = model or self.build_model()
-        s = self.input_size
-        return jax.jit(model.init)(
-            jax.random.PRNGKey(seed), jnp.zeros((1, s, s, 3), self.dtype))
+        s = self.init_size
+        return init_on_cpu(model, (1, s, s, 3), self.dtype, seed)
 
     # -------- shared inference plumbing ----------------------------------
     def predict(self, variables, image_path: str, infer_fn=None,

@@ -52,10 +52,10 @@ class DeeplabV3PlusA:
             output_stride=self.cfg.arch.output_stride, dtype=self.dtype)
 
     def init_variables(self, model=None, seed: int = 0):
+        from tpucv.algorithms.base import init_on_cpu
         model = model or self.build_model()
-        s = self.cfg.arch.crop_size
-        return jax.jit(model.init)(
-            jax.random.PRNGKey(seed), jnp.zeros((1, s, s, 3), self.dtype))
+        s = min(self.cfg.arch.crop_size, 129)  # params are size-independent
+        return init_on_cpu(model, (1, s, s, 3), self.dtype, seed)
 
     def build_loss(self):
         l = self.cfg.loss

@@ -32,6 +32,11 @@ class Ssd(DetectionAlgorithm):
             cfg.arch.input_size, t["feature_shapes"], t["anchor_sizes"],
             t["aspect_ratios"])
 
+    @property
+    def init_size(self) -> int:
+        # SSD's extra-layer geometry is locked to 300/512
+        return self.cfg.arch.input_size
+
     def build_model(self) -> SSD:
         return SSD(num_classes=self.nc, input_size=self.cfg.arch.input_size,
                    dtype=self.dtype)

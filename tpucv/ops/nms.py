@@ -201,6 +201,57 @@ batched_non_max_suppression = jax.vmap(
 )
 
 
+def batched_single_label_nms(
+    pred: jax.Array,              # (B, A, 4+nc) xywh px + class scores
+    conf_threshold: float = 0.25,
+    iou_threshold: float = 0.7,
+    max_det: int = 300,
+    pre_nms_topk: int = 1024,
+    class_agnostic: bool = False,
+    use_pallas: bool | None = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Batched best-class NMS with a Pallas VMEM kernel on TPU and the XLA
+    fixpoint elsewhere. Same semantics as ``non_max_suppression`` vmapped."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    # the VMEM-resident kernel holds an (N, N) f32 matrix; N > 1024 exceeds
+    # the 16 MB VMEM budget -> use the HBM fixpoint instead
+    if pre_nms_topk > 1024:
+        use_pallas = False
+    B, A, _ = pred.shape
+    boxes_xywh = pred[:, :, :4]
+    cls_scores = pred[:, :, 4:]
+    best_cls = jnp.argmax(cls_scores, axis=-1)
+    best_score = jnp.max(cls_scores, axis=-1)
+    gated = jnp.where(best_score > conf_threshold, best_score, 0.0)
+    k = min(pre_nms_topk, A)
+    top_scores, top_idx = jax.lax.top_k(gated, k)          # (B, K)
+    bi = jnp.arange(B)[:, None]
+    top_boxes = xywh2xyxy(boxes_xywh[bi, top_idx])
+    top_cls = best_cls[bi, top_idx].astype(jnp.int32)
+    if class_agnostic:
+        off_boxes = top_boxes
+    else:
+        off_boxes = top_boxes + top_cls[..., None].astype(
+            top_boxes.dtype) * 7680.0
+
+    if use_pallas:
+        from tpucv.ops.pallas_nms import pallas_nms
+        idx, valid = pallas_nms(off_boxes, top_scores, iou_threshold, max_det)
+    else:
+        idx, valid = jax.vmap(
+            lambda b, s: nms_fixpoint(b, s, iou_threshold, max_det)
+        )(off_boxes, top_scores)
+
+    out_boxes = jnp.take_along_axis(
+        top_boxes, idx[..., None].repeat(4, -1), axis=1)
+    out_scores = jnp.where(valid, jnp.take_along_axis(top_scores, idx, 1), 0.0)
+    out_cls = jnp.take_along_axis(top_cls, idx, axis=1)
+    valid = valid & (out_scores > conf_threshold)
+    out_boxes = jnp.where(valid[..., None], out_boxes, 0.0)
+    return out_boxes, out_scores, out_cls, valid
+
+
 def non_max_suppression_multilabel(
     boxes: jax.Array,
     cls_scores: jax.Array,
