@@ -103,6 +103,56 @@ class SegmentationDataset:
         return img, mask.astype(np.int32), np.ones((), bool)
 
 
+# Cityscapes 19-class train-id palette (reference segmentation_dataset.py:38-67)
+CITYSCAPES_COLORMAP = [
+    [128, 64, 128], [244, 35, 232], [70, 70, 70], [102, 102, 156],
+    [190, 153, 153], [153, 153, 153], [250, 170, 30], [220, 220, 0],
+    [107, 142, 35], [152, 251, 152], [70, 130, 180], [220, 20, 60],
+    [255, 0, 0], [0, 0, 142], [0, 0, 70], [0, 60, 100], [0, 80, 100],
+    [0, 0, 230], [119, 11, 32],
+]
+
+# cityscapes full label id -> train id (255 = ignore)
+_CITYSCAPES_ID_TO_TRAIN = {
+    7: 0, 8: 1, 11: 2, 12: 3, 13: 4, 17: 5, 19: 6, 20: 7, 21: 8, 22: 9,
+    23: 10, 24: 11, 25: 12, 26: 13, 27: 14, 28: 15, 31: 16, 32: 17, 33: 18,
+}
+
+
+def cityscapes_id_lut() -> np.ndarray:
+    lut = np.full(256, 255, np.uint8)
+    for k, v in _CITYSCAPES_ID_TO_TRAIN.items():
+        lut[k] = v
+    return lut
+
+
+def build_cityscapes_samples(root: str, split: str) -> List[Tuple[str, str]]:
+    """leftImg8bit/<split>/<city>/*.png + gtFine labelIds
+    (reference get_cityscapes_dataloader :212-253)."""
+    img_root = os.path.join(root, "leftImg8bit", split)
+    samples = []
+    for city in sorted(os.listdir(img_root)):
+        for f in sorted(os.listdir(os.path.join(img_root, city))):
+            if not f.endswith("_leftImg8bit.png"):
+                continue
+            mask = f.replace("_leftImg8bit.png", "_gtFine_labelIds.png")
+            samples.append((
+                os.path.join(img_root, city, f),
+                os.path.join(root, "gtFine", split, city, mask)))
+    return samples
+
+
+def build_sbd_samples(root: str, split: str) -> List[Tuple[str, str]]:
+    """SBD benchmark layout: img/*.jpg + cls/*.mat-derived pngs (we expect
+    pre-converted pngs under cls_png/, the common preprocessing)
+    (reference get_sbd_dataloader :296-337)."""
+    split_file = os.path.join(root, f"{split}.txt")
+    with open(split_file) as f:
+        ids = [l.strip() for l in f if l.strip()]
+    return [(os.path.join(root, "img", f"{i}.jpg"),
+             os.path.join(root, "cls_png", f"{i}.png")) for i in ids]
+
+
 def build_voc_seg_samples(root: str, split: str) -> List[Tuple[str, str]]:
     split_file = os.path.join(root, "ImageSets", "Segmentation", f"{split}.txt")
     with open(split_file) as f:

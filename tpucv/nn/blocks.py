@@ -322,3 +322,195 @@ def upsample2x(x: jax.Array) -> jax.Array:
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, h * 2, w * 2, c)
+
+
+class ConvTransposeBnAct(nn.Module):
+    """Transposed conv + BN + SiLU (reference ``ConvTranspose``,
+    modules.py:52-64)."""
+
+    out_ch: int
+    k: int = 2
+    s: int = 2
+    act: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.ConvTranspose(
+            self.out_ch, (self.k, self.k), strides=(self.s, self.s),
+            padding="VALID", use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="bn")(x)
+        return nn.silu(x) if self.act else x
+
+
+class C1(nn.Module):
+    """CSP bottleneck with 1 conv (reference modules.py:155-166)."""
+
+    out_ch: int
+    n: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = ConvBnAct(self.out_ch, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        z = y
+        for i in range(self.n):
+            z = ConvBnAct(self.out_ch, 3, 1, dtype=self.dtype, name=f"m{i}")(
+                z, train)
+        return z + y
+
+
+class C2(nn.Module):
+    """CSP bottleneck with 2 convs (reference modules.py:169-183)."""
+
+    out_ch: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c = int(self.out_ch * self.e)
+        y = ConvBnAct(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        a, b = y[..., :c], y[..., c:]
+        for i in range(self.n):
+            a = Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0,
+                           dtype=self.dtype, name=f"m{i}")(a, train)
+        return ConvBnAct(self.out_ch, 1, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate([a, b], axis=-1), train)
+
+
+class C3x(C3):
+    """C3 with cross (1,3)/(3,1) kernels (reference modules.py:233-240)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(self.out_ch * self.e)
+        a = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            a = _CrossBottleneck(c_, self.shortcut, dtype=self.dtype,
+                                 name=f"m{i}")(a, train)
+        b = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return ConvBnAct(self.out_ch, 1, 1, dtype=self.dtype, name="cv3")(
+            jnp.concatenate([a, b], axis=-1), train)
+
+
+class _CrossBottleneck(nn.Module):
+    out_ch: int
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = nn.Conv(self.out_ch, (1, 3), padding=((0, 0), (1, 1)),
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="cv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="bn1")(y)
+        y = nn.silu(y)
+        y = nn.Conv(self.out_ch, (3, 1), padding=((1, 1), (0, 0)),
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="cv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="bn2")(y)
+        y = nn.silu(y)
+        if self.shortcut and x.shape[-1] == self.out_ch:
+            y = x + y
+        return y
+
+
+class TransformerLayer(nn.Module):
+    """Single transformer layer (reference modules.py:86-101)."""
+
+    dim: int
+    heads: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, dtype=self.dtype, param_dtype=jnp.float32,
+            name="attn")(x, x)
+        x = x + y
+        y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc1")(x)
+        y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc2")(y)
+        return x + y
+
+
+class TransformerBlock(nn.Module):
+    """Vision-transformer block over a conv feature map
+    (reference modules.py:104-121)."""
+
+    out_ch: int
+    heads: int = 4
+    n: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if x.shape[-1] != self.out_ch:
+            x = ConvBnAct(self.out_ch, 1, 1, dtype=self.dtype, name="conv")(
+                x, train)
+        b, h, w, c = x.shape
+        seq = x.reshape(b, h * w, c)
+        pos = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="linear")(seq)
+        seq = seq + pos
+        for i in range(self.n):
+            seq = TransformerLayer(c, self.heads, dtype=self.dtype,
+                                   name=f"tr{i}")(seq)
+        return seq.reshape(b, h, w, c)
+
+
+class BottleneckCSP(nn.Module):
+    """Classic CSP bottleneck (reference modules.py:124-152)."""
+
+    out_ch: int
+    n: int = 1
+    shortcut: bool = True
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(self.out_ch * self.e)
+        a = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            a = Bottleneck(c_, self.shortcut, e=1.0, dtype=self.dtype,
+                           name=f"m{i}")(a, train)
+        a = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="cv3")(a)
+        b = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="cv2")(x)
+        y = jnp.concatenate([a, b], axis=-1)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="bn")(y)
+        y = nn.silu(y)
+        return ConvBnAct(self.out_ch, 1, 1, dtype=self.dtype, name="cv4")(
+            y, train)
+
+
+class Proto(nn.Module):
+    """Mask prototype head for segmentation (reference modules.py:392-404)."""
+
+    mid_ch: int = 256
+    n_masks: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = ConvBnAct(self.mid_ch, 3, dtype=self.dtype, name="cv1")(x, train)
+        x = upsample2x(x)
+        x = ConvBnAct(self.mid_ch, 3, dtype=self.dtype, name="cv2")(x, train)
+        return ConvBnAct(self.n_masks, 1, dtype=self.dtype, name="cv3")(
+            x, train)

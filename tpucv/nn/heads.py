@@ -73,6 +73,80 @@ class DetectHead(nn.Module):
         return tuple(outs)
 
 
+class SegmentHead(nn.Module):
+    """Detect + mask-coefficient branches + Proto (reference ``Segment``,
+    modules.py:459-482). Returns (det_maps, mask_coef_maps, prototypes)."""
+
+    nc: int = 80
+    n_masks: int = 32
+    proto_ch: int = 256
+    reg_max: int = 16
+    strides: Tuple[int, ...] = (8, 16, 32)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        from tpucv.nn.blocks import ConvBnAct as _Conv, Proto
+
+        det = DetectHead(self.nc, self.reg_max, self.strides,
+                         dtype=self.dtype, name="detect")(feats, train)
+        c4 = max(feats[0].shape[-1] // 4, self.n_masks)
+        coefs = []
+        for i, x in enumerate(feats):
+            y = _Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            y = _Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(y, train)
+            y = nn.Conv(self.n_masks, (1, 1), dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"cv4_{i}_2")(y)
+            coefs.append(y)
+        protos = Proto(self.proto_ch, self.n_masks, dtype=self.dtype,
+                       name="proto")(feats[0], train)
+        return det, tuple(coefs), protos
+
+
+class PoseHead(nn.Module):
+    """Detect + keypoint branches (reference ``Pose``, modules.py:485-506)."""
+
+    nc: int = 1
+    kpt_shape: Tuple[int, int] = (17, 3)
+    reg_max: int = 16
+    strides: Tuple[int, ...] = (8, 16, 32)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        from tpucv.nn.blocks import ConvBnAct as _Conv
+
+        det = DetectHead(self.nc, self.reg_max, self.strides,
+                         dtype=self.dtype, name="detect")(feats, train)
+        nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c4 = max(feats[0].shape[-1] // 4, nk)
+        kpts = []
+        for i, x in enumerate(feats):
+            y = _Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            y = _Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(y, train)
+            y = nn.Conv(nk, (1, 1), dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"cv4_{i}_2")(y)
+            kpts.append(y)
+        return det, tuple(kpts)
+
+
+class ClassifyHead(nn.Module):
+    """Image classification head (reference ``Classify``, modules.py:509-528)."""
+
+    nc: int = 1000
+    mid_ch: int = 1280
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from tpucv.nn.blocks import ConvBnAct as _Conv
+
+        x = _Conv(self.mid_ch, 1, dtype=self.dtype, name="conv")(x, train)
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(self.nc, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="linear")(x)
+
+
 def dfl_project(box_dist: jax.Array, reg_max: int = 16) -> jax.Array:
     """Distribution-Focal-Loss expectation decode (reference modules.py:67-83).
 

@@ -1,0 +1,70 @@
+"""Legacy YOLOv3 trainer — intentionally NOT registered, mirroring the
+reference's status (``core/trainer/yolov3_train.py:14-87`` exists but is
+absent from check.MODELS / the registry)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpucv.configs.model_cfgs import Yolo3Config
+from tpucv.trainer.base import BaseTrainer
+from tpucv.trainer.data_helpers import build_detection_loaders
+
+
+class Yolo3Algorithm:
+    """Minimal algorithm facade for the legacy path."""
+
+    def __init__(self, cfg: Yolo3Config):
+        import jax.numpy as jnp
+        self.cfg = cfg
+        self.nc = cfg.num_classes
+        self.dtype = jnp.bfloat16 if cfg.train.mixed_precision else jnp.float32
+        self.anchors = np.asarray(cfg.arch.anchors, np.float32)
+        self.anchor_mask = cfg.arch.anchor_mask
+        self.strides = cfg.arch.strides
+
+    def build_model(self):
+        from tpucv.models.yolov3 import YoloV3
+        return YoloV3(nc=self.nc, dtype=self.dtype)
+
+    def init_variables(self, model=None, seed: int = 0):
+        from tpucv.algorithms.base import init_on_cpu
+        model = model or self.build_model()
+        return init_on_cpu(model, (1, 128, 128, 3), self.dtype, seed)
+
+    def build_loss(self):
+        from tpucv.losses.yolov3 import yolov3_loss
+
+        def loss_fn(raw, batch):
+            return yolov3_loss(
+                raw, batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+                self.anchors, self.anchor_mask, self.strides, self.nc)
+
+        return loss_fn
+
+    def make_infer_fn(self, model=None, conf_threshold=None):
+        import jax
+        from tpucv.decode.yolov3 import decode_yolov3
+        from tpucv.ops.preprocess import normalize_images
+
+        model = model or self.build_model()
+        d = self.cfg.decode
+        conf = d.conf_threshold if conf_threshold is None else conf_threshold
+
+        @jax.jit
+        def infer(variables, images_u8):
+            x = normalize_images(images_u8, self.dtype)
+            raw = model.apply(variables, x)
+            return decode_yolov3(
+                raw, self.anchors, self.anchor_mask, self.strides, self.nc,
+                conf, d.iou_threshold, d.max_det, d.pre_nms_topk)
+
+        return infer
+
+
+class Yolo3Trainer(BaseTrainer):
+    def set_model_algorithm(self):
+        self.algorithm = Yolo3Algorithm(self.cfg)
+
+    def load_data(self):
+        self.train_loader, self.val_loader = build_detection_loaders(self.cfg)
