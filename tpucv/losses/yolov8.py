@@ -32,10 +32,14 @@ def _df_loss(pred_dist: jax.Array, target: jax.Array) -> jax.Array:
     wr = 1.0 - wl
     logp = jax.nn.log_softmax(pred_dist, axis=-1)
     reg_max = pred_dist.shape[-1]
-    ll = jnp.take_along_axis(logp, jnp.clip(tl, 0, reg_max - 1)[..., None],
-                             axis=-1)[..., 0]
-    lr = jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None],
-                             axis=-1)[..., 0]
+    # one-hot contractions instead of take_along_axis: elementwise gathers
+    # lower to serial loads on TPU and dominated the loss
+    oh_l = jax.nn.one_hot(jnp.clip(tl, 0, reg_max - 1), reg_max,
+                          dtype=logp.dtype)
+    oh_r = jax.nn.one_hot(jnp.clip(tr, 0, reg_max - 1), reg_max,
+                          dtype=logp.dtype)
+    ll = jnp.sum(logp * oh_l, axis=-1)
+    lr = jnp.sum(logp * oh_r, axis=-1)
     return -(ll * wl + lr * wr).mean(axis=-1)
 
 
