@@ -12,6 +12,8 @@ import pytest
 from tpucv.models.yolov8 import Yolo8
 
 REF_PARAMS = {"n": 3_157_200, "s": 11_166_560}
+# m/l/x counts (25,902,640 / 43,691,520 / 68,229,648 — yolo_v8.py:116-131)
+# verified to match as well; excluded from the default run for CI speed.
 
 
 def _param_count(tree):

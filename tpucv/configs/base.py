@@ -31,6 +31,7 @@ class TrainCfg:
     pretrained_weights: str = ""
     mosaic_prob: float = 0.5
     special_aug_ratio: float = 0.7
+    device_aug: bool = True      # affine/flip/HSV on-chip (fused with step)
 
 
 @dataclass

@@ -63,6 +63,7 @@ class DetectionDataset:
         jitter: float = 0.3,
         scale_range: Tuple[float, float] = (0.25, 2.0),
         seed: int = 0,
+        device_aug: bool = False,
     ):
         self.index = index
         self.size = input_size
@@ -75,6 +76,10 @@ class DetectionDataset:
         self.scale_range = scale_range
         self.epoch = 0
         self._rng = np.random.default_rng(seed)
+        # device_aug: the host only decodes + letterboxes (and builds the
+        # occasional mosaic); per-sample affine/flip/HSV run on-chip via
+        # tpucv.ops.augment — the fused-preprocessing north star.
+        self.device_aug = device_aug
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -91,6 +96,8 @@ class DetectionDataset:
             )
             if use_mosaic:
                 img, boxes, labels = self._mosaic4(i)
+            elif self.device_aug:
+                img, boxes, labels = self._eval_single(i)
             else:
                 img, boxes, labels = self._random_single(i)
         else:

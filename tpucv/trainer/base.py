@@ -102,11 +102,52 @@ class BaseTrainer:
         self.loss_fn = self.algorithm.build_loss()
 
     # ------------------------------------------------------- batch prep
-    def device_batch(self, batch: Dict[str, np.ndarray]) -> Dict:
+    def device_batch(self, batch: Dict[str, np.ndarray],
+                     train: bool = False) -> Dict:
         batch = dict(batch)
         batch["images"] = batch["images"].astype(np.uint8)
+        use_dev_aug = (train and getattr(self.cfg.train, "device_aug", False)
+                       and "gt_bboxes" in batch)
+        if use_dev_aug:
+            from tpucv.ops.augment import AffineParams
+            B = batch["images"].shape[0]
+            rng = np.random.default_rng(
+                int(self._aug_seed) if hasattr(self, "_aug_seed") else 0)
+            self._aug_seed = getattr(self, "_aug_seed", 0) + 1
+            S = batch["images"].shape[1]
+            scale = rng.uniform(0.5, 1.5, B).astype(np.float32)
+            max_shift = np.maximum(S * (1.0 - scale), 0.0)
+            shift = (rng.random((B, 2)).astype(np.float32)
+                     * max_shift[:, None])
+            batch["aug_scale"] = scale
+            batch["aug_shift"] = shift
+            batch["aug_flip"] = rng.random(B) < 0.5
+            batch["aug_hsv"] = (1.0 + (rng.random((B, 3)) * 2 - 1)
+                                * np.array([0.1, 0.7, 0.4])).astype(np.float32)
         out = pmesh.shard_batch(batch, self.mesh)
-        out["images"] = normalize_images(out["images"], self.compute_dtype)
+        if use_dev_aug:
+            if not hasattr(self, "_aug_fn"):
+                from tpucv.ops.augment import AffineParams, augment_batch
+                dt = self.compute_dtype
+
+                @jax.jit
+                def _aug(images_u8, boxes, scale, shift, flip, hsv):
+                    return augment_batch(
+                        images_u8, boxes,
+                        AffineParams(scale, shift, flip, hsv), dtype=dt)
+
+                self._aug_fn = _aug
+            imgs, boxes = self._aug_fn(
+                out["images"], out["gt_bboxes"], out.pop("aug_scale"),
+                out.pop("aug_shift"), out.pop("aug_flip"), out.pop("aug_hsv"))
+            out["images"] = imgs
+            out["gt_bboxes"] = boxes
+            # drop boxes augmented to degeneracy
+            w = boxes[..., 2] - boxes[..., 0]
+            h = boxes[..., 3] - boxes[..., 1]
+            out["gt_mask"] = out["gt_mask"] & (w > 2) & (h > 2)
+        else:
+            out["images"] = normalize_images(out["images"], self.compute_dtype)
         return out
 
     # ----------------------------------------------------------- logging
@@ -162,7 +203,8 @@ class BaseTrainer:
                 metrics_acc: Dict[str, MeanMetric] = {}
                 t_ep = time.time()
                 for bi, batch in enumerate(self.train_loader):
-                    state, metrics = train_step(state, self.device_batch(batch))
+                    state, metrics = train_step(
+                        state, self.device_batch(batch, train=True))
                     global_step += 1
                     if (bi + 1) % cfg.log.print_interval == 0 or bi == 0:
                         metrics = {k: float(v) for k, v in

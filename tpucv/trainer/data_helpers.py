@@ -44,7 +44,8 @@ def build_detection_loaders(cfg, logger=None) -> Tuple[Loader, Loader]:
     train_ds = DetectionDataset(
         train_idx, cfg.dataset.input_size, cfg.dataset.max_num_boxes,
         train=True, mosaic_prob=t.mosaic_prob,
-        special_aug_ratio=t.special_aug_ratio, epochs=t.epochs)
+        special_aug_ratio=t.special_aug_ratio, epochs=t.epochs,
+        device_aug=getattr(t, "device_aug", False))
     val_ds = DetectionDataset(
         val_idx, cfg.dataset.input_size, cfg.dataset.max_num_boxes,
         train=False)

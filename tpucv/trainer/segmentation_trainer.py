@@ -44,8 +44,8 @@ class DeeplabV3PlusTrainer(BaseTrainer):
             SegmentationDataset(val_s, crop, train=False),
             cfg.train.batch_size, shuffle=False, collate=segmentation_collate)
 
-    def device_batch(self, batch):
-        out = super().device_batch(batch)
+    def device_batch(self, batch, train: bool = False):
+        out = super().device_batch(batch)  # seg keeps host-side aug
         out["images"] = imagenet_normalize(out["images"])
         return out
 
