@@ -84,3 +84,21 @@ def test_model_forward_shape():
     vars_ = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     out = model.apply(vars_, x)
     assert out.shape == (1, 32, 32, 9)
+
+
+def test_dla34_backbone_param_count_matches_reference():
+    """Per-level DLA-34 parameter counts equal the reference exactly
+    (verified against core/models/centernet_model.py DLA([1,1,1,2,2,1],
+    [16,32,64,128,256,512]); its unused 'final' classifier excluded):
+    base 2384, level0 2336, level1 4672, level2 140032, level3 1215488,
+    level4 4855808, level5 9050112."""
+    import jax.tree_util as tu
+    from tpucv.models.centernet import DLA34
+    m = DLA34()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    counts = {k: sum(x.size for x in tu.tree_leaves(sub))
+              for k, sub in v["params"].items()}
+    expected = {"base": 2384, "level0": 2336, "level1": 4672,
+                "level2": 140032, "level3": 1215488, "level4": 4855808,
+                "level5": 9050112}
+    assert counts == expected

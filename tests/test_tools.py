@@ -90,9 +90,15 @@ def test_export_stablehlo_contains_entry():
 
 
 def test_kmeans_recovers_clusters():
-    import sys, os
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    from scripts.kmeans import kmeans_anchors, iou_wh
+    # load by explicit path: a bare `import scripts.kmeans` can resolve to
+    # the reference checkout's scripts/ if a golden test put it on sys.path
+    import importlib.util, os
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                        "kmeans.py")
+    spec = importlib.util.spec_from_file_location("tpucv_kmeans", path)
+    km = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(km)
+    kmeans_anchors, iou_wh = km.kmeans_anchors, km.iou_wh
     rng = np.random.default_rng(0)
     truth = np.array([[10, 10], [50, 100], [200, 150]], np.float32)
     wh = np.concatenate([
