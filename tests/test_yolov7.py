@@ -93,3 +93,12 @@ def test_decode_fixed_shapes():
         maps, ANCHORS, (8, 16, 32), 20, 0.5, 0.3, 10, 64)
     assert boxes.shape == (2, 10, 4)
     assert valid.dtype == jnp.bool_
+
+
+def test_yolov7_l_param_count_matches_reference():
+    """Exact parity with the torch reference at nc=20: 37,297,025 params
+    (verified against core/models/yolov7_model.py Yolo7(phi='l'))."""
+    import jax.tree_util as tu
+    m = Yolo7(nc=20, phi="l")
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    assert sum(x.size for x in tu.tree_leaves(v["params"])) == 37_297_025
