@@ -62,3 +62,23 @@ def test_sampler_shapes_and_ranges():
     assert p.shift.shape == (8, 2)
     assert ((np.asarray(p.hsv[:, 0]) >= 0.9)
             & (np.asarray(p.hsv[:, 0]) <= 1.1)).all()
+
+
+def test_flip_with_scale_keeps_boxes_on_content():
+    """Regression: flip composed with scale/shift must keep boxes aligned
+    with the gathered image content (flip happens in SOURCE space)."""
+    img = np.zeros((1, 32, 32, 3), np.uint8)
+    img[0, 8:16, 0:8] = 255                       # block at source x in [0,8)
+    boxes = jnp.array([[[0.0, 8.0, 8.0, 16.0]]])
+    p = AffineParams(jnp.full((1,), 0.5), jnp.zeros((1, 2)),
+                     jnp.ones((1,), bool), jnp.ones((1, 3)))
+    out, ob = augment_batch(jnp.asarray(img), boxes, p, dtype=jnp.float32)
+    b = np.asarray(ob[0, 0])
+    # source flip puts the block at x in [24,32); scale 0.5 -> [12,16)
+    np.testing.assert_allclose(b, [12, 4, 16, 8], atol=1e-5)
+    # the image content must be bright inside the transformed box...
+    inside = np.asarray(out[0, 5, 13, 0])
+    assert inside > 0.9
+    # ...and background (fill) right outside it
+    outside = np.asarray(out[0, 5, 10, 0])
+    assert abs(outside - 128 / 255) < 0.02 or outside < 0.1

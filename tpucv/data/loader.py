@@ -65,13 +65,25 @@ class Loader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put so an abandoned iterator (e.g. max_steps break)
+            # can't park the worker forever inside a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             for b in range(n_batches):
                 if stop.is_set():
                     return
                 idxs = order[b * self.bs:(b + 1) * self.bs]
-                q.put(self._make_batch(idxs))
-            q.put(None)
+                if not put(self._make_batch(idxs)):
+                    return
+            put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

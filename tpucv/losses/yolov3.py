@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpucv.losses.common import sigmoid_bce as _bce_logits
 from tpucv.ops.boxes import pairwise_iou
 
 
@@ -130,6 +131,4 @@ def yolov3_loss(
                    "obj_loss": total_obj, "cls_loss": total_cls}
 
 
-def _bce_logits(logits, labels):
-    return jnp.clip(logits, 0) - logits * labels + jnp.log1p(
-        jnp.exp(-jnp.abs(logits)))
+

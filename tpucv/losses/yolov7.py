@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpucv.losses.common import sigmoid_bce as _bce_logits
 from tpucv.ops.boxes import bbox_iou
 
 
@@ -198,6 +199,4 @@ def yolov7_loss(
                    "num_match": matched.sum().astype(jnp.float32)}
 
 
-def _bce_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    return jnp.clip(logits, 0) - logits * labels + jnp.log1p(
-        jnp.exp(-jnp.abs(logits)))
+

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from tpucv.nn.heads import dfl_project
 from tpucv.ops.anchors import make_anchors
 from tpucv.ops.boxes import bbox2dist, bbox_iou, dist2bbox
+from tpucv.losses.common import sigmoid_bce
 from tpucv.losses.tal import task_aligned_assigner
 
 
@@ -94,7 +95,7 @@ def yolov8_loss(
     tss = jnp.maximum(target_scores.sum(), 1.0)
 
     # cls: BCE with soft targets, sum / target_scores_sum (yolo_v8.py:108-109)
-    bce = optax_sigmoid_bce(pred_cls_logits, target_scores)
+    bce = sigmoid_bce(pred_cls_logits, target_scores)
     loss_cls = bce.sum() / tss
 
     # box: CIoU weighted by anchor target-score weight (ultralytics_loss.py:36-40)
@@ -114,7 +115,5 @@ def yolov8_loss(
     }
 
 
-def optax_sigmoid_bce(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Numerically stable sigmoid BCE (torch BCEWithLogits equivalent)."""
-    return jnp.clip(logits, 0) - logits * labels + jnp.log1p(
-        jnp.exp(-jnp.abs(logits)))
+# canonical implementation lives in losses/common.py
+optax_sigmoid_bce = sigmoid_bce

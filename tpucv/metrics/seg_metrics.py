@@ -42,10 +42,17 @@ class SegmentationMetrics:
         h = self.hist
         eps = 1e-9
         acc = np.diag(h).sum() / (h.sum() + eps)
-        acc_cls = np.diag(h) / (h.sum(axis=1) + eps)
-        iou = np.diag(h) / (h.sum(axis=1) + h.sum(axis=0) - np.diag(h) + eps)
+        # absent classes (no GT and no prediction) are NaN, excluded by
+        # nanmean — reference semantics (seg_metrics.py:20-33); an eps-forced
+        # 0 would deflate mIoU on splits missing classes
+        with np.errstate(divide="ignore", invalid="ignore"):
+            acc_cls = np.diag(h) / h.sum(axis=1)
+            denom = h.sum(axis=1) + h.sum(axis=0) - np.diag(h)
+            iou = np.where(denom > 0, np.diag(h) / np.where(denom > 0, denom, 1),
+                           np.nan)
         freq = h.sum(axis=1) / (h.sum() + eps)
-        fwavacc = (freq[freq > 0] * iou[freq > 0]).sum()
+        valid = (freq > 0) & np.isfinite(iou)
+        fwavacc = (freq[valid] * iou[valid]).sum()
         return {
             "overall_acc": float(acc),
             "mean_acc": float(np.nanmean(acc_cls)),

@@ -20,10 +20,6 @@ from flax import linen as nn
 Dtype = Any
 
 
-def _conv_bn_relu(x, feat, k, name_prefix, dtype, train, dilation=1, pad=None):
-    raise NotImplementedError  # replaced by ConvBNReLU module below
-
-
 class ConvBNReLU(nn.Module):
     feat: int
     k: int = 3

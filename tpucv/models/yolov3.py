@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from tpucv.nn.blocks import upsample2x as _up2
+
 Dtype = Any
 
 
@@ -91,7 +93,4 @@ class YoloV3(nn.Module):
         return o5, o4, o3
 
 
-def _up2(x):
-    b, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-    return x.reshape(b, h * 2, w * 2, c)
+

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tpucv.nn.blocks import ConvBnAct, max_pool_same
+from tpucv.nn.blocks import ConvBnAct, max_pool_same, upsample2x as _up2
 
 Dtype = Any
 
@@ -201,7 +201,4 @@ class Yolo7(nn.Module):
         return tuple(outs)
 
 
-def _up2(x: jax.Array) -> jax.Array:
-    b, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-    return x.reshape(b, h * 2, w * 2, c)
+

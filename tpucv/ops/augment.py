@@ -106,16 +106,18 @@ def augment_batch(
     v = jnp.clip(hsv[..., 2] * params.hsv[:, None, None, 2], 0, 1)
     g = _hsv_to_rgb(jnp.stack([h, s, v], axis=-1))
 
-    # boxes: scale + shift (+flip)
+    # boxes: the image gather flips SOURCE coordinates (flip-then-
+    # scale/shift), so boxes must flip in source space FIRST and then apply
+    # the same scale+shift — flipping after placement would reflect around
+    # the canvas instead of within the placed window and misalign labels.
+    fx = params.flip[:, None]
+    src_x1 = jnp.where(fx, S - boxes[..., 2], boxes[..., 0])
+    src_x2 = jnp.where(fx, S - boxes[..., 0], boxes[..., 2])
+    src = jnp.stack([src_x1, boxes[..., 1], src_x2, boxes[..., 3]], axis=-1)
     sc = params.scale[:, None, None]
     sh = params.shift[:, None, :]
-    out_boxes = boxes * sc
+    out_boxes = src * sc
     out_boxes = out_boxes.at[..., 0::2].add(sh[..., 0:1])
     out_boxes = out_boxes.at[..., 1::2].add(sh[..., 1:2])
-    fx = params.flip[:, None]
-    x1 = jnp.where(fx, S - out_boxes[..., 2], out_boxes[..., 0])
-    x2 = jnp.where(fx, S - out_boxes[..., 0], out_boxes[..., 2])
-    out_boxes = jnp.stack([x1, out_boxes[..., 1], x2, out_boxes[..., 3]],
-                          axis=-1)
     out_boxes = jnp.clip(out_boxes, 0, S)
     return g.astype(dtype), out_boxes

@@ -7,8 +7,10 @@ builds the IoU-overlap matrix in a VMEM scratch, runs the suppression-wave
 fixpoint entirely on-chip, and writes the final keep mask. For N = 1024 the
 f32 matrix is 4 MB — VMEM-resident.
 
-Exactness: identical keep-set to sequential greedy NMS (same fixpoint
-argument as nms_fixpoint's docstring).
+Exactness: identical keep-set to sequential greedy NMS at fixpoint; the
+sweep count is bounded (default 16), so suppression chains deeper than
+max_iters can under-suppress — raise max_iters for adversarial inputs
+(realistic detection sets settle in <8 sweeps).
 """
 
 from __future__ import annotations
@@ -64,7 +66,7 @@ def pallas_nms_keep(
     boxes_sorted: jax.Array,      # (B, N, 4) f32, sorted by score desc
     scores_sorted: jax.Array,     # (B, N) f32 (<=0 marks invalid)
     iou_threshold: float = 0.45,
-    max_iters: int = 8,
+    max_iters: int = 16,
     interpret: bool = False,
 ) -> jax.Array:
     """Returns keep mask (B, N) float (1.0 = kept)."""

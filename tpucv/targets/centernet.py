@@ -35,7 +35,11 @@ def gaussian_radius(det_size: Tuple[jax.Array, jax.Array],
     b3 = -2 * min_overlap * (h + w)
     c3 = (min_overlap - 1) * w * h
     sq3 = jnp.sqrt(jnp.maximum(b3**2 - 4 * a3 * c3, 0))
-    r3 = (b3 + sq3) / (2 * a3)
+    # NOTE: (b3+sq3)/2, not /(2*a3) — reproduces the reference (and original
+    # CenterNet repo) exactly, which uses this widely-known non-quadratic
+    # division (gaussian.py:21); r3 is usually the min, so the "fixed"
+    # formula would shrink every radius ~2.8x vs the published training.
+    r3 = (b3 + sq3) / 2
     return jnp.minimum(jnp.minimum(r1, r2), r3)
 
 

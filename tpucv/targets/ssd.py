@@ -69,10 +69,13 @@ def assign_ssd_targets(
     best_iou_per_prior = jnp.max(iou, axis=0)
     assigned = best_iou_per_prior >= overlap_threshold
 
-    # force each GT's best prior
-    best_prior_per_gt = jnp.argmax(iou, axis=1)                # (M,)
+    # force each GT's best prior; padded GT rows scatter to the
+    # out-of-range index A (dropped) so they cannot race with a real GT
+    # whose best prior is index 0 (their iou rows are all -1 -> argmax 0)
+    best_prior_per_gt = jnp.where(
+        gt_mask, jnp.argmax(iou, axis=1), A)                   # (M,)
     forced = jnp.zeros((A,), bool).at[best_prior_per_gt].set(
-        gt_mask, mode="drop")
+        True, mode="drop")
     # forced priors point at their GT regardless of threshold
     gt_of_forced = jnp.zeros((A,), jnp.int32).at[best_prior_per_gt].set(
         jnp.arange(M, dtype=jnp.int32), mode="drop")

@@ -224,8 +224,11 @@ class BaseTrainer:
                     if max_steps and global_step >= max_steps:
                         done = True
                         break
+                ep_means = " ".join(
+                    f"{k}={m.result():.4f}" for k, m in metrics_acc.items())
                 self.logger.info(
-                    f"epoch {epoch} done in {time.time() - t_ep:.1f}s")
+                    f"epoch {epoch} done in {time.time() - t_ep:.1f}s "
+                    f"(means over logged steps: {ep_means})")
                 if (epoch + 1) % cfg.train.eval_interval == 0:
                     val = self.evaluate_loop(state)
                     self.logger.info(f"eval epoch {epoch}: {val}")
