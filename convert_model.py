@@ -36,7 +36,8 @@ def extract_weights_from_torch_model(model_name: str, pt_path: str,
     import torch
     from tpucv.builder import export_from_registry
     from tpucv.ckpt.checkpoint import CheckPoint
-    from tpucv.ckpt.importer import import_yolov8, merge_into_variables
+    from tpucv.ckpt.importer import (
+        import_yolov7, import_yolov8, merge_into_variables)
 
     obj = torch.load(pt_path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):
@@ -52,11 +53,12 @@ def extract_weights_from_torch_model(model_name: str, pt_path: str,
     cfg, algo_cls, _ = export_from_registry(model_name)
     algo = algo_cls(cfg)
     variables = algo.init_variables()
-    if model_name != "yolo8_det":
+    importers = {"yolo8_det": import_yolov8, "yolo7": import_yolov7}
+    if model_name not in importers:
         raise NotImplementedError(
-            "torch import currently supports yolo8_det; other families load "
-            "tpucv checkpoints directly")
-    imported = import_yolov8(sd)
+            f"torch import supports {sorted(importers)}; other families "
+            "load tpucv checkpoints directly")
+    imported = importers[model_name](sd)
     merged = merge_into_variables(
         {"params": dict(variables["params"]),
          "batch_stats": dict(variables["batch_stats"])}, imported)

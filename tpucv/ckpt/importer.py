@@ -108,6 +108,77 @@ def import_yolov8(torch_state_dict: Dict[str, Any],
     return {"params": params, "batch_stats": stats}
 
 
+# reference yolov7_model.py module name -> tpucv Yolo7 module name
+YOLOV7_MODULE_MAP = {
+    "backbone.stem.0": "stem0", "backbone.stem.1": "stem1",
+    "backbone.stem.2": "stem2", "backbone.dark2.0": "stem3",
+    "backbone.dark2.1": "elan1", "backbone.dark3.0": "mp1",
+    "backbone.dark3.1": "elan2", "backbone.dark4.0": "mp2",
+    "backbone.dark4.1": "elan3", "backbone.dark5.0": "mp3",
+    "backbone.dark5.1": "elan4",
+    "conv_for_P5": "up1_conv", "conv_for_feat2": "p4_lat",
+    "conv3_for_upsample1": "helan1",
+    "conv_for_P4": "up2_conv", "conv_for_feat1": "p3_lat",
+    "conv3_for_upsample2": "helan2",
+    "down_sample1": "down1", "conv3_for_downsample1": "helan3",
+    "down_sample2": "down2", "conv3_for_downsample2": "helan4",
+}
+
+
+def _convert_mcb(sd, tp, params, stats, fp):
+    """Multi_Concat_Block: cv1, cv2, cv3.{i} list, cv4."""
+    convert_conv_bn(sd, f"{tp}.cv1", params, stats, fp + ("cv1",))
+    convert_conv_bn(sd, f"{tp}.cv2", params, stats, fp + ("cv2",))
+    i = 0
+    while f"{tp}.cv3.{i}.conv.weight" in sd:
+        convert_conv_bn(sd, f"{tp}.cv3.{i}", params, stats,
+                        fp + (f"cv3_{i}",))
+        i += 1
+    convert_conv_bn(sd, f"{tp}.cv4", params, stats, fp + ("cv4",))
+
+
+def import_yolov7(torch_state_dict: Dict[str, Any]) -> Dict[str, Dict]:
+    """Reference Yolo7 state_dict -> tpucv {"params", "batch_stats"} pytrees
+    (module map verified by exact total-param parity, 37,297,025 at nc=20)."""
+    sd = {k: np.asarray(v) for k, v in torch_state_dict.items()}
+    params: Dict = {}
+    stats: Dict = {}
+    for tname, jname in YOLOV7_MODULE_MAP.items():
+        if f"{tname}.conv.weight" in sd:                 # plain ConvBNSiLU
+            convert_conv_bn(sd, tname, params, stats, (jname,))
+        elif f"{tname}.cv4.conv.weight" in sd:           # Multi_Concat_Block
+            _convert_mcb(sd, tname, params, stats, (jname,))
+        elif f"{tname}.cv3.conv.weight" in sd:           # Transition_Block
+            for cv in ("cv1", "cv2", "cv3"):
+                convert_conv_bn(sd, f"{tname}.{cv}", params, stats,
+                                (jname, cv))
+        else:
+            raise KeyError(f"unrecognised reference module {tname}")
+    for cv in ("cv1", "cv2", "cv3", "cv4", "cv5", "cv6", "cv7"):
+        convert_conv_bn(sd, f"sppcspc.{cv}", params, stats, ("sppcspc", cv))
+    for i in range(3):
+        tp = f"rep_conv_{i + 1}"
+        jp = f"rep{i}"
+        put(params, (jp, "dense_conv", "kernel"),
+            t2j_conv(sd[f"{tp}.rbr_dense.0.weight"]))
+        for flax_n, torch_n in (("scale", "weight"), ("bias", "bias")):
+            put(params, (jp, "dense_bn", flax_n),
+                sd[f"{tp}.rbr_dense.1.{torch_n}"])
+            put(params, (jp, "one_bn", flax_n),
+                sd[f"{tp}.rbr_1x1.1.{torch_n}"])
+        for flax_n, torch_n in (("mean", "running_mean"), ("var", "running_var")):
+            put(stats, (jp, "dense_bn", flax_n),
+                sd[f"{tp}.rbr_dense.1.{torch_n}"])
+            put(stats, (jp, "one_bn", flax_n),
+                sd[f"{tp}.rbr_1x1.1.{torch_n}"])
+        put(params, (jp, "one_conv", "kernel"),
+            t2j_conv(sd[f"{tp}.rbr_1x1.0.weight"]))
+        put(params, (f"head{i}", "kernel"),
+            t2j_conv(sd[f"yolo_head_P{i + 3}.weight"]))
+        put(params, (f"head{i}", "bias"), sd[f"yolo_head_P{i + 3}.bias"])
+    return {"params": params, "batch_stats": stats}
+
+
 def merge_into_variables(variables: Dict, imported: Dict) -> Dict:
     """Overlay imported leaves onto init variables (missing leaves keep their
     init values); returns new nested dicts."""

@@ -8,20 +8,34 @@ TPU-native re-designs of the reference's torch modules:
 """
 
 from tpucv.nn.blocks import (  # noqa: F401
-    ConvBnAct,
-    DWConv,
-    Bottleneck,
+    BottleneckCSP,
+    C1,
+    C2,
     C2f,
     C3,
-    SPPF,
-    SPP,
-    Focus,
-    GhostConv,
-    GhostBottleneck,
-    ChannelAttention,
-    SpatialAttention,
+    C3x,
     CBAM,
+    ChannelAttention,
+    ConvBnAct,
+    ConvTransposeBnAct,
+    DWConv,
+    Bottleneck,
+    Focus,
+    GhostBottleneck,
+    GhostConv,
+    Proto,
+    SPP,
+    SPPF,
+    SpatialAttention,
+    TransformerBlock,
+    TransformerLayer,
     max_pool_same,
     upsample2x,
 )
-from tpucv.nn.heads import DetectHead, dfl_project  # noqa: F401
+from tpucv.nn.heads import (  # noqa: F401
+    ClassifyHead,
+    DetectHead,
+    PoseHead,
+    SegmentHead,
+    dfl_project,
+)
