@@ -88,12 +88,10 @@ def test_multibox_loss_gradients():
     assert np.isfinite(float(g)) and abs(float(g)) > 0
 
 
-def test_ssd300_param_count_near_reference():
-    """Reference SSD300-VGG16 (nc=21) has 26,293,934 params; ours differs by
-    256 (extra feature layers use Conv+BN instead of the reference's biased
-    plain convs — same capacity class, better normalisation). Pin to 0.01%."""
+def test_ssd300_param_count_exact_reference():
+    """Structurally exact to the reference: 26,293,934 params (VGG-BN bias
+    convs, BN-less conv6/7, plain biased extras)."""
     import jax.tree_util as tu
     m = SSD(num_classes=21, input_size=300)
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)))
-    n = sum(x.size for x in tu.tree_leaves(v["params"]))
-    assert abs(n - 26_293_934) / 26_293_934 < 1e-4
+    assert sum(x.size for x in tu.tree_leaves(v["params"])) == 26_293_934

@@ -179,6 +179,54 @@ def import_yolov7(torch_state_dict: Dict[str, Any]) -> Dict[str, Dict]:
     return {"params": params, "batch_stats": stats}
 
 
+def import_ssd(torch_state_dict: Dict[str, Any]) -> Dict[str, Dict]:
+    """Reference SSD state_dict -> tpucv pytrees (tpucv/models/ssd.py is
+    structurally exact: VGG-BN bias convs, BN-less conv6/7, plain extras)."""
+    sd = {k: np.asarray(v) for k, v in torch_state_dict.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    # backbone.layers.N — scan conv/bn pairs in ascending layer index
+    idxs = sorted({int(k.split(".")[2]) for k in sd
+                   if k.startswith("backbone.layers.")})
+    conv_seen = 0
+    for i in idxs:
+        w = sd.get(f"backbone.layers.{i}.weight")
+        if w is None:
+            continue
+        if w.ndim == 4:                                 # conv layer
+            if conv_seen < 13:                           # VGG blocks
+                name = f"vgg{conv_seen}_conv"
+            elif conv_seen == 13:
+                name = "conv6"
+            else:
+                name = "conv7"
+            put(params, (name, "kernel"), t2j_conv(w))
+            put(params, (name, "bias"), sd[f"backbone.layers.{i}.bias"])
+            conv_seen += 1
+        else:                                            # batchnorm layer
+            bn = f"vgg{conv_seen - 1}_bn"
+            put(params, (bn, "scale"), w)
+            put(params, (bn, "bias"), sd[f"backbone.layers.{i}.bias"])
+            put(stats, (bn, "mean"), sd[f"backbone.layers.{i}.running_mean"])
+            put(stats, (bn, "var"), sd[f"backbone.layers.{i}.running_var"])
+
+    put(params, ("l2norm", "scale"), sd["l2_norm.weight"])
+    j = 1
+    while f"extras.conv{j}.weight" in sd:
+        put(params, (f"extra{j}", "kernel"), t2j_conv(sd[f"extras.conv{j}.weight"]))
+        put(params, (f"extra{j}", "bias"), sd[f"extras.conv{j}.bias"])
+        j += 1
+    i = 0
+    while f"locs.{i}.weight" in sd:
+        put(params, (f"loc{i}", "kernel"), t2j_conv(sd[f"locs.{i}.weight"]))
+        put(params, (f"loc{i}", "bias"), sd[f"locs.{i}.bias"])
+        put(params, (f"conf{i}", "kernel"), t2j_conv(sd[f"confs.{i}.weight"]))
+        put(params, (f"conf{i}", "bias"), sd[f"confs.{i}.bias"])
+        i += 1
+    return {"params": params, "batch_stats": stats}
+
+
 def merge_into_variables(variables: Dict, imported: Dict) -> Dict:
     """Overlay imported leaves onto init variables (missing leaves keep their
     init values); returns new nested dicts."""

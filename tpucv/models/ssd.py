@@ -1,12 +1,16 @@
-"""SSD300/512-VGG16 detector, TPU-native.
+"""SSD300/512-VGG16 detector, TPU-native, structurally exact to the reference.
 
-Re-design of the reference network (``core/models/ssd_model.py``): inline
-VGG16-BN backbone with dilated conv6/7 (:6-57), extra feature layers for
-300/512 (:60-109), L2-normalised conv4_3 (:112-128), and 6(+1) loc/conf heads
-producing (B, num_priors, 4) + (B, num_priors, nc) (:131-191).
+Re-design of the reference network (``core/models/ssd_model.py``) with
+matching parameterisation so reference-trained weights import losslessly:
+  * VGG16-BN backbone: conv(bias)+BN+ReLU blocks, 'C' ceil-mode pool after
+    block 3 (:6-57); conv4_3 feature tapped after its ReLU (extract index 32)
+  * pool5 3x3 s1 p1 + dilated conv6 / 1x1 conv7 — bias+ReLU, no BN
+  * L2-normalised conv4_3 with learned scale init 20 (:112-128)
+  * extra layers: plain biased convs with NO activation (:60-109 — a
+    reference quirk kept for parity), tapped after every second conv
+  * 6(+1) loc/conf 3x3 heads -> (B, P, 4) + (B, P, nc); 8732 priors at 300
 
-NHWC + explicit asymmetric pool padding reproduces torch's ceil_mode pooling
-(pool3: 75 -> 38), so prior counts line up exactly (8732 for 300).
+NHWC + explicit asymmetric pool padding reproduce torch ceil_mode (75 -> 38).
 """
 
 from __future__ import annotations
@@ -19,32 +23,19 @@ from flax import linen as nn
 
 Dtype = Any
 
+VGG16_BLOCKS = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
 
-class ConvBNReLU(nn.Module):
-    feat: int
-    k: int = 3
-    s: int = 1
-    dilation: int = 1
-    pad: int | None = None
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        p = self.pad if self.pad is not None else self.dilation * (self.k - 1) // 2
-        x = nn.Conv(self.feat, (self.k, self.k), strides=(self.s, self.s),
-                    padding=((p, p), (p, p)),
-                    kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                    name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=jnp.float32, name="bn")(x)
-        return nn.relu(x)
+EXTRA_SPECS = {
+    300: [(256, 1, 1, 0), (512, 3, 2, 1), (128, 1, 1, 0), (256, 3, 2, 1),
+          (128, 1, 1, 0), (256, 3, 1, 0), (128, 1, 1, 0), (256, 3, 1, 0)],
+    512: [(256, 1, 1, 0), (512, 3, 2, 1), (128, 1, 1, 0), (256, 3, 2, 1),
+          (128, 1, 1, 0), (256, 3, 2, 1), (128, 1, 1, 0), (256, 3, 2, 1),
+          (128, 1, 1, 0), (256, 4, 1, 1)],
+}
 
 
 def max_pool(x, k=2, s=2, ceil=False, pad_same=False):
-    """torch-style MaxPool2d; ceil pads bottom/right
-    (reference pool3 ceil_mode, ssd_model.py:18)."""
+    """torch-style MaxPool2d; ceil pads bottom/right (reference pool 'C')."""
     h, w = x.shape[1:3]
     if pad_same:  # k=3 s=1 p=1 pool5
         pads = ((0, 0), (1, 1), (1, 1), (0, 0))
@@ -81,56 +72,60 @@ class SSD(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
-        C = lambda f, **kw: ConvBNReLU(f, dtype=dt, **kw)
 
-        # VGG16 through conv4_3 (feature 1) and conv7 (feature 2)
-        for i in range(2):
-            x = C(64, name=f"c1_{i}")(x, train)
-        x = max_pool(x)
-        for i in range(2):
-            x = C(128, name=f"c2_{i}")(x, train)
-        x = max_pool(x)
-        for i in range(3):
-            x = C(256, name=f"c3_{i}")(x, train)
-        x = max_pool(x, ceil=True)                  # 75 -> 38
-        for i in range(3):
-            x = C(512, name=f"c4_{i}")(x, train)
-        f1 = L2Normalize(name="l2norm")(x)          # conv4_3 feature
-        x = max_pool(x)
-        for i in range(3):
-            x = C(512, name=f"c5_{i}")(x, train)
-        x = max_pool(x, k=3, s=1, pad_same=True)    # pool5 3x3 s1
-        x = C(1024, dilation=6, name="conv6")(x, train)
-        f2 = C(1024, k=1, name="conv7")(x, train)
+        def conv(x, feat, k, s, p, name):
+            return nn.Conv(feat, (k, k), (s, s), padding=((p, p), (p, p)),
+                           use_bias=True, dtype=dt, param_dtype=jnp.float32,
+                           name=name)(x)
 
+        # VGG16-BN backbone (reference layer order; conv has bias AND BN)
+        ci = 0
+        f1 = None
+        for bi, (ch, n) in enumerate(VGG16_BLOCKS):
+            for _ in range(n):
+                x = conv(x, ch, 3, 1, 1, f"vgg{ci}_conv")
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=dt,
+                                 param_dtype=jnp.float32,
+                                 name=f"vgg{ci}_bn")(x)
+                x = nn.relu(x)
+                ci += 1
+            if bi == 3:
+                f1 = x                                # conv4_3 after ReLU
+                x = max_pool(x)
+            elif bi == 2:
+                x = max_pool(x, ceil=True)            # 'C' pool: 75 -> 38
+            elif bi < 4:
+                x = max_pool(x)
+        x = max_pool(x, k=3, s=1, pad_same=True)      # pool5
+        # dilated conv6 / conv7 — bias + ReLU, no BN (reference :27-32)
+        x = nn.Conv(1024, (3, 3), padding=((6, 6), (6, 6)),
+                    kernel_dilation=(6, 6), use_bias=True, dtype=dt,
+                    param_dtype=jnp.float32, name="conv6")(x)
+        x = nn.relu(x)
+        x = conv(x, 1024, 1, 1, 0, "conv7")
+        f2 = nn.relu(x)
+
+        f1 = L2Normalize(name="l2norm")(f1)
         feats = [f1, f2]
-        # extra layers (reference ExtraLayer :60-109)
-        x = f2
-        extra_specs_300 = [
-            (256, 512, 2, 1), (128, 256, 2, 1), (128, 256, 1, 0), (128, 256, 1, 0)]
-        extra_specs_512 = [
-            (256, 512, 2, 1), (128, 256, 2, 1), (128, 256, 2, 1),
-            (128, 256, 2, 1), (128, 256, 2, 1)]
-        specs = extra_specs_300 if self.input_size == 300 else extra_specs_512
-        for j, (c1, c2, s, p) in enumerate(specs):
-            x = C(c1, k=1, name=f"extra{j}_1")(x, train)
-            x = C(c2, k=3, s=s, pad=p, name=f"extra{j}_2")(x, train)
-            feats.append(x)
 
-        # heads: boxes per cell per level
+        # extras: plain biased convs, no activation (reference quirk)
+        x = f2
+        for j, (ch, k, s, p) in enumerate(EXTRA_SPECS[self.input_size]):
+            x = conv(x, ch, k, s, p, f"extra{j + 1}")
+            if j % 2 == 1:
+                feats.append(x)
+
         if self.input_size == 300:
             n_boxes = [4, 6, 6, 6, 4, 4]
         else:
             n_boxes = [4, 6, 6, 6, 6, 4, 4]
         locs, confs = [], []
         for i, (f, nb) in enumerate(zip(feats, n_boxes)):
-            loc = nn.Conv(nb * 4, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
-                          param_dtype=jnp.float32, name=f"loc{i}")(f)
-            conf = nn.Conv(nb * self.num_classes, (3, 3),
-                           padding=((1, 1), (1, 1)), dtype=dt,
-                           param_dtype=jnp.float32, name=f"conf{i}")(f)
+            loc = conv(f, nb * 4, 3, 1, 1, f"loc{i}")
+            cf = conv(f, nb * self.num_classes, 3, 1, 1, f"conf{i}")
             b = f.shape[0]
             locs.append(loc.reshape(b, -1, 4))
-            confs.append(conf.reshape(b, -1, self.num_classes))
+            confs.append(cf.reshape(b, -1, self.num_classes))
         return (jnp.concatenate(locs, axis=1),
                 jnp.concatenate(confs, axis=1))
