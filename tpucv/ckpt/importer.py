@@ -227,6 +227,71 @@ def import_ssd(torch_state_dict: Dict[str, Any]) -> Dict[str, Dict]:
     return {"params": params, "batch_stats": stats}
 
 
+def _convert_plain_conv_bn(sd, tp, params, stats, fp,
+                           conv_key="0", bn_key="1"):
+    """torch Sequential(conv, bn, relu) -> tpucv ConvBNReLU at fp."""
+    put(params, fp + ("conv", "kernel"), t2j_conv(sd[f"{tp}.{conv_key}.weight"]))
+    put(params, fp + ("bn", "scale"), sd[f"{tp}.{bn_key}.weight"])
+    put(params, fp + ("bn", "bias"), sd[f"{tp}.{bn_key}.bias"])
+    put(stats, fp + ("bn", "mean"), sd[f"{tp}.{bn_key}.running_mean"])
+    put(stats, fp + ("bn", "var"), sd[f"{tp}.{bn_key}.running_var"])
+
+
+def _convert_dla_block(sd, tp, params, stats, fp):
+    """reference BasicBlock (conv1/bn1/conv2/bn2) -> tpucv BasicBlock."""
+    put(params, fp + ("cv1", "conv", "kernel"), t2j_conv(sd[f"{tp}.conv1.weight"]))
+    put(params, fp + ("cv1", "bn", "scale"), sd[f"{tp}.bn1.weight"])
+    put(params, fp + ("cv1", "bn", "bias"), sd[f"{tp}.bn1.bias"])
+    put(stats, fp + ("cv1", "bn", "mean"), sd[f"{tp}.bn1.running_mean"])
+    put(stats, fp + ("cv1", "bn", "var"), sd[f"{tp}.bn1.running_var"])
+    put(params, fp + ("cv2_conv", "kernel"), t2j_conv(sd[f"{tp}.conv2.weight"]))
+    put(params, fp + ("cv2_bn", "scale"), sd[f"{tp}.bn2.weight"])
+    put(params, fp + ("cv2_bn", "bias"), sd[f"{tp}.bn2.bias"])
+    put(stats, fp + ("cv2_bn", "mean"), sd[f"{tp}.bn2.running_mean"])
+    put(stats, fp + ("cv2_bn", "var"), sd[f"{tp}.bn2.running_var"])
+
+
+def _convert_dla_tree(sd, tp, params, stats, fp):
+    """reference Tree (recursive) -> tpucv Tree."""
+    if f"{tp}.project.0.weight" in sd:
+        put(params, fp + ("project_conv", "kernel"),
+            t2j_conv(sd[f"{tp}.project.0.weight"]))
+        put(params, fp + ("project_bn", "scale"), sd[f"{tp}.project.1.weight"])
+        put(params, fp + ("project_bn", "bias"), sd[f"{tp}.project.1.bias"])
+        put(stats, fp + ("project_bn", "mean"),
+            sd[f"{tp}.project.1.running_mean"])
+        put(stats, fp + ("project_bn", "var"),
+            sd[f"{tp}.project.1.running_var"])
+    if f"{tp}.root.conv.weight" in sd:
+        put(params, fp + ("root", "conv", "kernel"),
+            t2j_conv(sd[f"{tp}.root.conv.weight"]))
+        put(params, fp + ("root", "bn", "scale"), sd[f"{tp}.root.bn.weight"])
+        put(params, fp + ("root", "bn", "bias"), sd[f"{tp}.root.bn.bias"])
+        put(stats, fp + ("root", "bn", "mean"),
+            sd[f"{tp}.root.bn.running_mean"])
+        put(stats, fp + ("root", "bn", "var"),
+            sd[f"{tp}.root.bn.running_var"])
+    for child in ("tree1", "tree2"):
+        ctp = f"{tp}.{child}"
+        if f"{ctp}.conv1.weight" in sd:
+            _convert_dla_block(sd, ctp, params, stats, fp + (child,))
+        else:
+            _convert_dla_tree(sd, ctp, params, stats, fp + (child,))
+
+
+def import_dla34(torch_state_dict: Dict[str, Any]) -> Dict[str, Dict]:
+    """Reference DLA-34 backbone state_dict -> tpucv DLA34 pytrees."""
+    sd = {k: np.asarray(v) for k, v in torch_state_dict.items()}
+    params: Dict = {}
+    stats: Dict = {}
+    _convert_plain_conv_bn(sd, "base_layer", params, stats, ("base",))
+    _convert_plain_conv_bn(sd, "level_0", params, stats, ("level0",))
+    _convert_plain_conv_bn(sd, "level_1", params, stats, ("level1",))
+    for i in range(2, 6):
+        _convert_dla_tree(sd, f"level_{i}", params, stats, (f"level{i}",))
+    return {"params": params, "batch_stats": stats}
+
+
 def merge_into_variables(variables: Dict, imported: Dict) -> Dict:
     """Overlay imported leaves onto init variables (missing leaves keep their
     init values); returns new nested dicts."""

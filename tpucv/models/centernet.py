@@ -115,8 +115,11 @@ class Tree(nn.Module):
                                 name="project_bn")(proj)
         else:
             proj = bottom
-        if residual is None:
-            residual = proj
+        # reference semantics (centernet_model.py:134-141): every Tree
+        # recomputes its own residual from its own project, IGNORING any
+        # passed-in residual — an outer tree's project output is dead (its
+        # params still exist and count, matching the reference exactly).
+        residual = proj
         if self.level_root:
             children.append(bottom)
 
@@ -128,7 +131,7 @@ class Tree(nn.Module):
             return Root(self.out_ch, dtype=self.dtype, name="root")(
                 [x2, x1] + children, train)
         x1 = Tree(self.levels - 1, self.in_ch, self.out_ch, self.s,
-                  dtype=self.dtype, name="tree1")(x, residual, None, train)
+                  dtype=self.dtype, name="tree1")(x, None, None, train)
         children.append(x1)
         return Tree(self.levels - 1, self.out_ch, self.out_ch, 1,
                     root_dim=root_dim + self.out_ch, dtype=self.dtype,
