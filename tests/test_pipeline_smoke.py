@@ -81,3 +81,13 @@ def test_voc_eval_harness_synthetic():
     res = algo.evaluate_on_voc(variables, index, batch_size=4,
                                conf_threshold=0.01)
     assert 0.0 <= res["mAP"] <= 1.0
+
+
+def test_dataset_root_env_override(monkeypatch):
+    from tpucv.configs.dataset_cfg import get_dataset_cfg
+    monkeypatch.setenv("TPUCV_COCO_ROOT", "/custom/coco")
+    assert get_dataset_cfg("coco")["root"] == "/custom/coco"
+    monkeypatch.delenv("TPUCV_COCO_ROOT")
+    assert get_dataset_cfg("coco")["root"] != "/custom/coco"
+    # voc unaffected
+    assert "VOC" in get_dataset_cfg("voc")["root"]

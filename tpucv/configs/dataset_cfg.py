@@ -53,4 +53,13 @@ COCO80_TO_COCO91 = [
 
 
 def get_dataset_cfg(name: str) -> dict:
-    return {"voc": VOC_CFG, "coco": COCO_CFG}[name]
+    """Dataset config; roots overridable via TPUCV_VOC_ROOT / TPUCV_COCO_ROOT
+    env vars (the reference hardcodes roots in the .py config; an env override
+    keeps the same workflow while letting CI/benchmarks point elsewhere)."""
+    import os
+
+    cfg = dict({"voc": VOC_CFG, "coco": COCO_CFG}[name])
+    env = os.environ.get(f"TPUCV_{name.upper()}_ROOT")
+    if env:
+        cfg["root"] = env
+    return cfg
