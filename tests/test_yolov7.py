@@ -95,10 +95,12 @@ def test_decode_fixed_shapes():
     assert valid.dtype == jnp.bool_
 
 
-def test_yolov7_l_param_count_matches_reference():
-    """Exact parity with the torch reference at nc=20: 37,297,025 params
-    (verified against core/models/yolov7_model.py Yolo7(phi='l'))."""
+def test_yolov7_param_counts_match_reference():
+    """Exact parity with the torch reference at nc=20 for both variants
+    (verified against core/models/yolov7_model.py): l=37,297,025,
+    x=70,940,649."""
     import jax.tree_util as tu
-    m = Yolo7(nc=20, phi="l")
-    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
-    assert sum(x.size for x in tu.tree_leaves(v["params"])) == 37_297_025
+    for phi, expected in (("l", 37_297_025), ("x", 70_940_649)):
+        m = Yolo7(nc=20, phi=phi)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+        assert sum(x.size for x in tu.tree_leaves(v["params"])) == expected, phi

@@ -126,12 +126,16 @@ class RepConv(nn.Module):
         return nn.silu(y)
 
 
-# per-phi structural constants (reference Backbone :86-141 / yolov7 cfgs)
+# per-phi structural constants, exactly the reference's parameterisation
+# (yolov7_model.py:366-372): transition_channels tc, block_channels bc=32,
+# panet_channels pc, head expansion e, conv count n, concat ids, head conv.
 PHI = {
-    "l": dict(stem=(32, 64, 64), base=64, elan_n=4,
-              ids=(-1, -3, -5, -6), head_ids=(-1, -2, -3, -4, -5, -6)),
-    "x": dict(stem=(40, 80, 80), base=80, elan_n=6,
-              ids=(-1, -3, -5, -7, -8), head_ids=(-1, -3, -5, -7, -8)),
+    "l": dict(tc=32, bc=32, pc=32, e=2, n=4,
+              ids=(-1, -3, -5, -6), head_ids=(-1, -2, -3, -4, -5, -6),
+              rep_head=True),
+    "x": dict(tc=40, bc=32, pc=64, e=1, n=6,
+              ids=(-1, -3, -5, -7, -8), head_ids=(-1, -3, -5, -7, -8),
+              rep_head=False),
 }
 
 
@@ -147,54 +151,56 @@ class Yolo7(nn.Module):
     def __call__(self, x, train: bool = False) -> Tuple[jax.Array, ...]:
         p = PHI[self.phi]
         dt = self.dtype
-        base = p["base"]
-        n, ids, hids = p["elan_n"], p["ids"], p["head_ids"]
+        tc, bc, pc, e = p["tc"], p["bc"], p["pc"], p["e"]
+        n, ids, hids = p["n"], p["ids"], p["head_ids"]
 
-        # stem
-        s0, s1, s2 = p["stem"]
-        x = ConvBnAct(s0, 3, 1, dtype=dt, name="stem0")(x, train)
-        x = ConvBnAct(s1, 3, 2, dtype=dt, name="stem1")(x, train)      # /2
-        x = ConvBnAct(s2, 3, 1, dtype=dt, name="stem2")(x, train)
-        x = ConvBnAct(base * 2, 3, 2, dtype=dt, name="stem3")(x, train)  # /4
+        # stem (reference Backbone :98-104)
+        x = ConvBnAct(tc, 3, 1, dtype=dt, name="stem0")(x, train)
+        x = ConvBnAct(tc * 2, 3, 2, dtype=dt, name="stem1")(x, train)   # /2
+        x = ConvBnAct(tc * 2, 3, 1, dtype=dt, name="stem2")(x, train)
+        x = ConvBnAct(tc * 4, 3, 2, dtype=dt, name="stem3")(x, train)   # /4
 
-        # backbone ELAN stages
-        x = MultiConcat(base, base, base * 4, n, ids, dtype=dt,
-                        name="elan1")(x, train)                         # 256
-        x = Transition(base * 2, dtype=dt, name="mp1")(x, train)        # /8
-        p3 = MultiConcat(base * 2, base * 2, base * 8, n, ids, dtype=dt,
-                         name="elan2")(x, train)                        # 512
-        x = Transition(base * 4, dtype=dt, name="mp2")(p3, train)       # /16
-        p4 = MultiConcat(base * 4, base * 4, base * 16, n, ids, dtype=dt,
-                         name="elan3")(x, train)                        # 1024
-        x = Transition(base * 8, dtype=dt, name="mp3")(p4, train)       # /32
-        p5 = MultiConcat(base * 4, base * 4, base * 16, n, ids, dtype=dt,
-                         name="elan4")(x, train)                        # 1024
+        # backbone ELAN stages (MCB hidden = block_channels multiples, e=1)
+        x = MultiConcat(bc * 2, bc * 2, tc * 8, n, ids, dtype=dt,
+                        name="elan1")(x, train)
+        x = Transition(tc * 4, dtype=dt, name="mp1")(x, train)          # /8
+        p3 = MultiConcat(bc * 4, bc * 4, tc * 16, n, ids, dtype=dt,
+                         name="elan2")(x, train)
+        x = Transition(tc * 8, dtype=dt, name="mp2")(p3, train)         # /16
+        p4 = MultiConcat(bc * 8, bc * 8, tc * 32, n, ids, dtype=dt,
+                         name="elan3")(x, train)
+        x = Transition(tc * 16, dtype=dt, name="mp3")(p4, train)        # /32
+        p5 = MultiConcat(bc * 8, bc * 8, tc * 32, n, ids, dtype=dt,
+                         name="elan4")(x, train)
 
-        # head
-        sppc = SPPCSPC(base * 8, dtype=dt, name="sppcspc")(p5, train)   # 512
-        up1 = ConvBnAct(base * 4, 1, dtype=dt, name="up1_conv")(sppc, train)
+        # head (reference :388-420; MCB hidden = panet_channels * e)
+        sppc = SPPCSPC(tc * 16, dtype=dt, name="sppcspc")(p5, train)
+        up1 = ConvBnAct(tc * 8, 1, dtype=dt, name="up1_conv")(sppc, train)
         up1 = _up2(up1)
-        l4 = ConvBnAct(base * 4, 1, dtype=dt, name="p4_lat")(p4, train)
-        h4 = MultiConcat(base * 4, base * 2, base * 4, n, hids, dtype=dt,
+        l4 = ConvBnAct(tc * 8, 1, dtype=dt, name="p4_lat")(p4, train)
+        h4 = MultiConcat(pc * 4 * e, pc * 4, tc * 8, n, hids, dtype=dt,
                          name="helan1")(jnp.concatenate([l4, up1], -1), train)
-        up2 = ConvBnAct(base * 2, 1, dtype=dt, name="up2_conv")(h4, train)
+        up2 = ConvBnAct(tc * 4, 1, dtype=dt, name="up2_conv")(h4, train)
         up2 = _up2(up2)
-        l3 = ConvBnAct(base * 2, 1, dtype=dt, name="p3_lat")(p3, train)
-        h3 = MultiConcat(base * 2, base, base * 2, n, hids, dtype=dt,
+        l3 = ConvBnAct(tc * 4, 1, dtype=dt, name="p3_lat")(p3, train)
+        h3 = MultiConcat(pc * 2 * e, pc * 2, tc * 4, n, hids, dtype=dt,
                          name="helan2")(jnp.concatenate([l3, up2], -1), train)
 
-        d3 = Transition(base * 2, dtype=dt, name="down1")(h3, train)
-        h4b = MultiConcat(base * 4, base * 2, base * 4, n, hids, dtype=dt,
+        d3 = Transition(tc * 4, dtype=dt, name="down1")(h3, train)
+        h4b = MultiConcat(pc * 4 * e, pc * 4, tc * 8, n, hids, dtype=dt,
                           name="helan3")(jnp.concatenate([d3, h4], -1), train)
-        d4 = Transition(base * 4, dtype=dt, name="down2")(h4b, train)
-        h5 = MultiConcat(base * 8, base * 4, base * 8, n, hids, dtype=dt,
+        d4 = Transition(tc * 8, dtype=dt, name="down2")(h4b, train)
+        h5 = MultiConcat(pc * 8 * e, pc * 8, tc * 16, n, hids, dtype=dt,
                          name="helan4")(jnp.concatenate([d4, sppc], -1), train)
 
         outs = []
         no = self.na * (5 + self.nc)
         for i, (f, ch) in enumerate(
-                zip((h3, h4b, h5), (base * 4, base * 8, base * 16))):
-            y = RepConv(ch, dtype=dt, name=f"rep{i}")(f, train)
+                zip((h3, h4b, h5), (tc * 8, tc * 16, tc * 32))):
+            if p["rep_head"]:
+                y = RepConv(ch, dtype=dt, name=f"rep{i}")(f, train)
+            else:  # 'x' uses a plain ConvBNSiLU before the head (:372)
+                y = ConvBnAct(ch, 3, 1, dtype=dt, name=f"rep{i}")(f, train)
             y = nn.Conv(no, (1, 1), use_bias=True, dtype=dt,
                         param_dtype=jnp.float32, name=f"head{i}")(y)
             outs.append(y)
