@@ -64,8 +64,9 @@ def test_decode_finds_planted_peak():
     B, H, W, C = 1, 32, 32, 3
     out = jnp.full((B, H, W, C + 4), -9.0)
     out = out.at[0, 10, 14, 1].set(9.0)               # strong peak class 1
-    out = out.at[0, 10, 14, C:C + 2].set(jnp.array([8.0, 6.0]))   # wh
-    out = out.at[0, 10, 14, C + 2:].set(jnp.array([0.5, 0.5]))    # reg
+    # channel contract is the reference's: offsets at [C:C+2], sizes at [-2:]
+    out = out.at[0, 10, 14, C:C + 2].set(jnp.array([0.5, 0.5]))   # reg
+    out = out.at[0, 10, 14, C + 2:].set(jnp.array([8.0, 6.0]))    # wh
     boxes, scores, cls, valid = decode_centernet(
         out, C, downsample=4, K=10, conf_threshold=0.3, use_diou_nms=False)
     v = np.asarray(valid[0])

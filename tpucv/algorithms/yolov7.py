@@ -33,12 +33,13 @@ class YOLOv7(DetectionAlgorithm):
 
     def build_loss(self):
         l = self.cfg.loss
+        box_g, obj_g, cls_g = self.cfg.loss_gains()
 
         def loss_fn(raw, batch):
             return yolov7_loss(
                 raw, batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
                 anchors=self.anchors, strides=self.strides, nc=self.nc,
-                box_gain=l.box_gain, obj_gain=l.obj_gain, cls_gain=l.cls_gain,
+                box_gain=box_g, obj_gain=obj_g, cls_gain=cls_g,
                 layer_balance=l.layer_balance)
 
         return loss_fn

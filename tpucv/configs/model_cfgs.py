@@ -181,9 +181,12 @@ class Yolo7Arch:
 
 @dataclass
 class Yolo7Loss:
+    # base ratios; effective obj/cls gains follow the reference formulas
+    # (core/loss/yolo7_loss.py:30-33): obj = obj_base*(H*W)/640**2,
+    # cls = cls_base*(nc/80). Resolved by Yolo7Config.loss_gains().
     box_gain: float = 0.05
-    obj_gain: float = 0.7
-    cls_gain: float = 0.3
+    obj_gain: float = 1.0
+    cls_gain: float = 0.5
     label_smoothing: float = 0.0
     layer_balance: Tuple[float, float, float] = (4.0, 1.0, 0.4)
 
@@ -209,6 +212,14 @@ class Yolo7Config(BaseConfig):
     @property
     def num_classes(self) -> int:
         return get_dataset_cfg(self.dataset.name)["num_classes"]
+
+    def loss_gains(self) -> Tuple[float, float, float]:
+        """(box, obj, cls) gains with the reference's input-size and
+        class-count scaling (core/loss/yolo7_loss.py:30-33)."""
+        s = self.dataset.input_size
+        return (self.loss.box_gain,
+                self.loss.obj_gain * (s * s) / 640.0 ** 2,
+                self.loss.cls_gain * self.num_classes / 80.0)
 
 
 # -------------------------------------------------------------- DeepLabV3+

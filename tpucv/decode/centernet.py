@@ -25,8 +25,10 @@ def decode_centernet(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     B, H, W, _ = output.shape
     hm = jax.nn.sigmoid(output[..., :num_classes].astype(jnp.float32))
-    wh = output[..., num_classes:num_classes + 2].astype(jnp.float32)
-    reg = output[..., num_classes + 2:num_classes + 4].astype(jnp.float32)
+    # slice convention matches the reference decode (centernet.py:274-276):
+    # offsets at [C:C+2], sizes at [-2:]
+    reg = output[..., num_classes:num_classes + 2].astype(jnp.float32)
+    wh = output[..., num_classes + 2:num_classes + 4].astype(jnp.float32)
 
     # peak suppression: keep only local 3x3 maxima
     peak = max_pool_same(hm, 3)

@@ -1,9 +1,13 @@
 """SSD MultiBox loss with batch-global hard negative mining.
 
-Parity with reference ``MultiBoxLossV2`` (``core/loss/multi_box_loss.py:
-77-192``): smooth-L1 localisation on positives + softmax CE with the batch-
-global top-k hard-negative selection (:179) at ``neg_pos_ratio``:1 —
-implemented with a static top-k over masked losses instead of ragged sorting.
+Value-parity with reference ``MultiBoxLossV2`` (``core/loss/multi_box_loss.py:
+77-192``): smooth-L1 localisation on positives + softmax CE, with the batch-
+global hard-negative selection ranked by *non-background probability mass*
+(:168-180), per-image negative caps ``min(ratio*pos_i, A-pos_i)`` (:146),
+the 100-negatives fallback when no image has positives (:156), normalisation
+by ``sum(max(pos_i, 1))`` (:185-188), and the ``alpha=0.5`` conf/loc blend
+(:191). Implemented with static-shape argsort + rank masks instead of the
+reference's data-dependent ``topk(k=num_neg_batch)``.
 """
 
 from __future__ import annotations
@@ -26,33 +30,42 @@ def multibox_loss(
     cls_true: jax.Array,     # (B, A) int32
     pos_mask: jax.Array,     # (B, A) bool
     neg_pos_ratio: int = 3,
-    alpha: float = 1.0,
+    alpha: float = 0.5,
+    negatives_for_hard: float = 100.0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     B, A, nc = conf_pred.shape
     conf_pred = conf_pred.astype(jnp.float32)
     loc_pred = loc_pred.astype(jnp.float32)
+    posf = pos_mask.astype(jnp.float32)
 
-    n_pos = jnp.maximum(pos_mask.sum(), 1).astype(jnp.float32)
+    # per-prior CE on clamped softmax probs (reference _softmax_loss :103-106)
+    probs = jnp.clip(jax.nn.softmax(conf_pred, axis=-1), 1e-7)
+    ce = -jnp.take_along_axis(
+        jnp.log(probs), cls_true[..., None], axis=-1)[..., 0]   # (B, A)
 
-    # localisation
-    l1 = smooth_l1(loc_pred - loc_true).sum(-1)
-    loss_loc = jnp.where(pos_mask, l1, 0.0).sum() / n_pos
+    # localisation smooth-L1 on positives (reference :96-101,131-137)
+    l1 = smooth_l1(loc_pred - loc_true).sum(-1)                 # (B, A)
+    pos_loc = (l1 * posf).sum()
+    pos_conf = (ce * posf).sum()
 
-    # classification CE per prior
-    logp = jax.nn.log_softmax(conf_pred, axis=-1)
-    ce = -jnp.take_along_axis(logp, cls_true[..., None], axis=-1)[..., 0]
+    # per-image negative budget (reference :140-156)
+    num_pos = posf.sum(axis=1)                                  # (B,)
+    num_neg = jnp.minimum(neg_pos_ratio * num_pos, A - num_pos)
+    has_min = (num_neg > 0).any()
+    num_neg_batch = jnp.where(has_min, num_neg.sum(), negatives_for_hard)
 
-    pos_ce = jnp.where(pos_mask, ce, 0.0).sum()
+    # hard negatives ranked by non-background probability mass (:168-177)
+    max_confs = probs[..., 1:].sum(-1) * (1.0 - posf)           # (B, A)
+    flat_scores = max_confs.reshape(-1)
+    order = jnp.argsort(-flat_scores)                           # descending
+    ce_sorted = ce.reshape(-1)[order]
+    rank = jnp.arange(B * A, dtype=jnp.float32)
+    neg_conf = jnp.where(rank < num_neg_batch, ce_sorted, 0.0).sum()
 
-    # batch-global hard negatives: top (ratio * n_pos) background losses
-    neg_ce_flat = jnp.where(pos_mask, 0.0, ce).reshape(-1)
-    k = neg_ce_flat.shape[0]
-    sorted_neg = -jnp.sort(-neg_ce_flat)            # descending
-    n_neg = jnp.minimum(neg_pos_ratio * n_pos, k).astype(jnp.int32)
-    rank = jnp.arange(k)
-    neg_ce = jnp.where(rank < n_neg, sorted_neg, 0.0).sum()
-
-    loss_conf = (pos_ce + neg_ce) / n_pos
-    total = loss_conf + alpha * loss_loc
+    # normalisation: zero-positive images count as 1 (reference :185-188)
+    norm = jnp.where(num_pos != 0, num_pos, 1.0).sum()
+    loss_conf = (pos_conf + neg_conf) / norm
+    loss_loc = pos_loc / norm
+    total = loss_conf * (1.0 - alpha) + loss_loc * alpha
     return total, {"loc_loss": loss_loc, "conf_loss": loss_conf,
-                   "num_pos": n_pos}
+                   "num_pos": num_pos.sum()}

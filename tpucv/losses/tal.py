@@ -103,20 +103,29 @@ def task_aligned_assigner(
     valid = mask_in_gts & gt_mask[..., None]
     align = jnp.where(valid, align, 0.0)
 
-    # top-k per GT over anchors (reference _select_topk_candidates).
-    # approx_max_k maps onto the TPU's fast partial-reduction path; exact
-    # top_k would sort all A anchors per (image, gt) row and dominates the
-    # whole train step (measured ~100 ms at B=64, M=32, A=8400).
-    # TPU-shaped top-k mask: find the k-th largest metric per GT, then keep
-    # anchors >= that threshold — a vector compare instead of a scatter
-    # (scatters lower to serial stores on TPU and dominated the train step).
+    # top-k per GT over anchors (reference _select_topk_candidates,
+    # bboxes.py:313-333). The reference keeps each real GT's top-k anchors
+    # with NO metric threshold (its topk_mask argument is just mask_gt), so
+    # zero-metric anchors can be selected in tie order; invalids die at the
+    # in-gts intersection below.
     k = min(topk, A)
     if jax.default_backend() == "tpu":
+        # TPU fast path: approx_max_k maps onto the fast partial-reduction
+        # unit; exact top_k would sort all A anchors per (image, gt) row and
+        # dominated the train step (measured ~100 ms at B=64, M=32, A=8400).
+        # The kth-threshold compare replaces the scatter (serial stores on
+        # TPU). Deviation from the reference: anchors with align <= eps are
+        # never selected — irrelevant once training has moved off init.
         topk_vals, _ = jax.lax.approx_max_k(align, k, recall_target=0.95)
+        kth = topk_vals[..., -1:]                               # (B, M, 1)
+        mask_topk = (align >= jnp.maximum(kth, eps)) & (align > eps)
     else:
-        topk_vals, _ = jax.lax.top_k(align, k)                  # (B, M, k)
-    kth = topk_vals[..., -1:]                                   # (B, M, 1)
-    mask_topk = (align >= jnp.maximum(kth, eps)) & (align > eps)
+        # exact path (CPU tests / golden parity): scatter ones at the top-k
+        # indices, reproducing the reference's tie behaviour (lax.top_k and
+        # torch.topk both break ties by lowest index).
+        _, topk_idxs = jax.lax.top_k(align, k)                  # (B, M, k)
+        cnt = jax.nn.one_hot(topk_idxs, A, dtype=align.dtype).sum(axis=2)
+        mask_topk = cnt > 0
     mask_pos = (mask_topk & valid).astype(align.dtype)
 
     target_gt_idx, fg_mask, mask_pos = select_highest_overlaps(

@@ -61,7 +61,7 @@ def yolov7_loss(
     cls_gain: float = 0.3,
     layer_balance: Sequence[float] = (4.0, 1.0, 0.4),
     anchor_t: float = 4.0,
-    max_dynamic_k: int = 10,
+    max_dynamic_k: int = 20,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     B = raw_maps[0].shape[0]
     nl = len(raw_maps)
@@ -171,29 +171,42 @@ def yolov7_loss(
     tgt_labels = jnp.take_along_axis(gt_labels, gt_for_anchor, axis=1)
 
     # ---------------- losses ----------------------------------------------
+    # Box and cls are *per-layer means summed over layers*, exactly like the
+    # reference (yolo7_loss.py:97-113: `box_loss += (1-iou).mean()` and
+    # `cls_loss += BCEcls(...)` inside the per-layer loop) — NOT a global
+    # mean over all matches.
     ciou = bbox_iou(pred_boxes, tgt_boxes, xywh=False, ciou=True)
     n_match = jnp.maximum(matched.sum(), 1.0)
-    loss_box = (jnp.where(matched, 1.0 - ciou, 0.0).sum()) / n_match
 
     obj_target = jnp.where(matched, jax.lax.stop_gradient(
         jnp.clip(ciou, 0.0, 1.0)), 0.0)
     obj_logits = preds[..., 4]
     obj_bce = _bce_logits(obj_logits, obj_target)
-    # per-layer balance (reference balance, yolo7_loss.py:44)
-    loss_obj = 0.0
-    for l in range(nl):
-        sel = lid[None] == l
-        layer_loss = jnp.where(sel, obj_bce, 0.0).sum() / jnp.maximum(
-            sel.sum() * B, 1)
-        loss_obj = loss_obj + layer_balance[l] * layer_loss
 
     cls_logits = preds[..., 5:]
     cls_target = jax.nn.one_hot(tgt_labels, nc) * matched[..., None]
-    cls_bce = _bce_logits(cls_logits, cls_target).sum(-1)
-    loss_cls = jnp.where(matched, cls_bce, 0.0).sum() / n_match
+    cls_bce = _bce_logits(cls_logits, cls_target).sum(-1)     # (B, A)
 
+    loss_box = 0.0
+    loss_obj = 0.0
+    loss_cls = 0.0
+    for l in range(nl):
+        sel = lid[None] == l                                  # (1, A)
+        m_l = matched & sel
+        n_l = m_l.sum()
+        denom = jnp.maximum(n_l, 1).astype(jnp.float32)
+        loss_box = loss_box + jnp.where(m_l, 1.0 - ciou, 0.0).sum() / denom
+        # reference BCEcls reduction='mean' over (n_l, nc) elements
+        loss_cls = loss_cls + jnp.where(m_l, cls_bce, 0.0).sum() / (denom * nc)
+        # obj: mean over every anchor of the layer, weighted by balance
+        layer_obj = jnp.where(sel, obj_bce, 0.0).sum() / jnp.maximum(
+            sel.sum() * B, 1)
+        loss_obj = loss_obj + layer_balance[l] * layer_obj
+
+    # the reference returns the gain-weighted sum WITHOUT a batch-size
+    # multiply (yolo7_loss.py:121-127), unlike YOLOv8's loss
     total = (box_gain * loss_box + obj_gain * loss_obj
-             + cls_gain * loss_cls) * B
+             + cls_gain * loss_cls)
     return total, {"box_loss": loss_box, "obj_loss": loss_obj,
                    "cls_loss": loss_cls,
                    "num_match": matched.sum().astype(jnp.float32)}
