@@ -60,3 +60,53 @@ def test_ema_updates():
     assert float(jnp.abs(s1.params["w"]).sum()) > 0
     assert float(jnp.abs(s1.ema_params["w"]).sum()) < \
         float(jnp.abs(s1.params["w"]).sum())
+
+
+def test_load_pretrained_partial_shape_matched(tmp_path):
+    """load_pretrained overlays matching leaves, keeps init for mismatched
+    or missing ones (reference ckpt.py:19-36 semantics)."""
+    from tpucv.ckpt.checkpoint import load_pretrained
+
+    init = {
+        "params": {"backbone": {"w": jnp.zeros((4, 4))},
+                   "head": {"w": jnp.zeros((2, 3))}},
+        "batch_stats": {"backbone": {"mean": jnp.zeros((4,))}},
+    }
+    saved = {
+        "params": {"backbone": {"w": np.ones((4, 4), np.float32)},
+                   "head": {"w": np.ones((9, 9), np.float32)}},  # mismatch
+        "batch_stats": {"backbone": {"mean": np.full((4,), 2.0, np.float32)}},
+    }
+    p = str(tmp_path / "pre.ckpt")
+    CheckPoint.save_pure(saved, p)
+    out = load_pretrained(init, p)
+    np.testing.assert_allclose(np.asarray(out["params"]["backbone"]["w"]),
+                               np.ones((4, 4)))
+    np.testing.assert_allclose(np.asarray(out["params"]["head"]["w"]),
+                               np.zeros((2, 3)))  # mismatched -> init kept
+    np.testing.assert_allclose(
+        np.asarray(out["batch_stats"]["backbone"]["mean"]), 2.0)
+
+
+def test_trainer_consumes_pretrained_weights(tmp_path, monkeypatch):
+    """cfg.train.pretrained_weights is consumed by initialize_model."""
+    from tpucv.builder import export_from_registry
+    from tpucv.trainer.yolo8_train import Yolo8Trainer
+
+    cfg, _, _ = export_from_registry("yolo8_det")
+    cfg.dataset.input_size = 64
+    cfg.train.batch_size = 2
+    cfg.dataset.max_num_boxes = 4
+
+    # build once to harvest an init tree, save a doctored copy
+    t0 = Yolo8Trainer(cfg)
+    vars0 = {"params": t0.init_params, "batch_stats": t0.init_batch_stats}
+    doctored = jax.tree.map(lambda x: np.full_like(np.asarray(x), 0.123),
+                            vars0)
+    p = str(tmp_path / "pre.ckpt")
+    CheckPoint.save_pure(doctored, p)
+
+    cfg.train.pretrained_weights = p
+    t1 = Yolo8Trainer(cfg)
+    leaf = np.asarray(jax.tree.leaves(t1.init_params)[0])
+    np.testing.assert_allclose(leaf, 0.123, atol=1e-6)

@@ -83,6 +83,19 @@ class BaseTrainer:
     def initialize_model(self):
         self.model = self.algorithm.build_model()
         variables = self.algorithm.init_variables(self.model)
+        # pretrained bootstrap (reference use_pretrained_model decorator,
+        # core/trainer/base.py:16-28 + core/utils/ckpt.py:19-36): partial,
+        # shape-matched load from a tpucv variables file or a torch .pth
+        pw = getattr(self.cfg.train, "pretrained_weights", "")
+        if pw:
+            from tpucv.ckpt.checkpoint import load_pretrained
+            if os.path.exists(pw):
+                variables = load_pretrained(
+                    variables, pw, self.cfg.model_name,
+                    getattr(self, "logger", None))
+            else:
+                print(f"WARNING: pretrained_weights {pw!r} not found — "
+                      f"training from scratch")
         self.init_params = variables["params"]
         self.init_batch_stats = variables.get("batch_stats", {})
 
