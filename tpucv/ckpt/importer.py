@@ -313,3 +313,58 @@ def merge_into_variables(variables: Dict, imported: Dict) -> Dict:
         "batch_stats": overlay(dict(variables["batch_stats"]),
                                imported["batch_stats"]),
     }
+
+
+def import_centernet(torch_state_dict: Dict[str, Any]) -> Dict[str, Dict]:
+    """Full reference CenterNet (core/models/centernet_model.py:310-379)
+    state_dict -> tpucv CenterNet pytrees.
+
+    Handles the DLA-34 base (via import_dla34 on the stripped prefix), the
+    DLAUp/IDAUp pyramid (proj = Sequential(conv,bn), up = grouped
+    ConvTranspose (C,1,k,k) -> (k,k,1,C), node = Sequential(conv,bn)) and
+    the bias-carrying two-conv heads heatmap/wh/reg -> hm/wh/reg."""
+    sd = {k: np.asarray(v) for k, v in torch_state_dict.items()}
+    # the reference wraps DLASeg as CenterNet.backbone
+    prefix = "backbone." if any(k.startswith("backbone.") for k in sd) else ""
+
+    base_sd = {k[len(prefix) + 5:]: v for k, v in sd.items()
+               if k.startswith(prefix + "base.")}
+    out = import_dla34(base_sd)
+    params: Dict = {"dla": out["params"]}
+    stats: Dict = {"dla": out["batch_stats"]}
+
+    # DLAUp: ida_0..ida_{n-2}, each with proj_k/up_k (k>=1 in practice;
+    # proj absent when channels already match) and node_1..node_{m-1}
+    dla_up = prefix + "dla_up."
+    i = 0
+    while f"{dla_up}ida_{i}.node_1.0.weight" in sd:
+        fp = ("dla_up", f"ida_{i}")
+        tp = f"{dla_up}ida_{i}"
+        k = 0
+        while True:
+            has_proj = f"{tp}.proj_{k}.0.weight" in sd
+            has_up = f"{tp}.up_{k}.weight" in sd
+            has_node = f"{tp}.node_{k}.0.weight" in sd
+            if not (has_proj or has_up or has_node) and k > 0:
+                break
+            if has_proj:
+                _convert_plain_conv_bn(sd, f"{tp}.proj_{k}", params, stats,
+                                       fp + (f"proj_{k}",))
+            if has_up:
+                w = sd[f"{tp}.up_{k}.weight"]        # (C, 1, k, k)
+                put(params, fp + (f"up_{k}", "kernel"),
+                    np.transpose(w, (2, 3, 1, 0)))   # -> (k, k, 1, C)
+            if has_node:
+                _convert_plain_conv_bn(sd, f"{tp}.node_{k}", params, stats,
+                                       fp + (f"node_{k}",))
+            k += 1
+        i += 1
+
+    # heads: Sequential(conv3x3 bias, ReLU, conv1x1 bias)
+    for t_name, f_name in (("heatmap", "hm"), ("wh", "wh"), ("reg", "reg")):
+        tp = prefix + t_name
+        put(params, (f"{f_name}_0", "kernel"), t2j_conv(sd[f"{tp}.0.weight"]))
+        put(params, (f"{f_name}_0", "bias"), sd[f"{tp}.0.bias"])
+        put(params, (f"{f_name}_1", "kernel"), t2j_conv(sd[f"{tp}.2.weight"]))
+        put(params, (f"{f_name}_1", "bias"), sd[f"{tp}.2.bias"])
+    return {"params": params, "batch_stats": stats}

@@ -167,35 +167,81 @@ class DLA34(nn.Module):
         return outs
 
 
-def _resize2x(x: jax.Array, factor: int) -> jax.Array:
-    b, h, w, c = x.shape
-    return jax.image.resize(x, (b, h * factor, w * factor, c), "bilinear")
+def _bilinear_up_init(key, shape, dtype=jnp.float32):
+    """Classic DLA bilinear-upsample kernel, replicated per channel.
+    shape: (k, k, 1, C) HWIO for a depthwise kernel."""
+    k = shape[0]
+    f = (k + 1) // 2
+    c = (2 * f - 1 - f % 2) / (2.0 * f)
+    idx = jnp.arange(k, dtype=jnp.float32)
+    w1d = 1.0 - jnp.abs(idx / f - c)
+    w2d = w1d[:, None] * w1d[None, :]
+    return jnp.broadcast_to(w2d[:, :, None, None], shape).astype(dtype)
+
+
+class DepthwiseUp(nn.Module):
+    """Grouped (depthwise) transposed conv, kernel 2f, stride f, padding f/2,
+    groups=C, bias-free — exactly the reference IDAUp ``up`` op
+    (centernet_model.py:255-257). Implemented as a fractionally-strided
+    depthwise conv (lhs_dilation=f, spatially flipped kernel), which is the
+    lowering XLA prefers on TPU anyway. Kernel layout (k, k, 1, C) matches
+    torch's (C, 1, k, k) per-channel weights transposed, so import is a
+    reshape+transpose (no flip stored — we flip at call time)."""
+
+    ch: int
+    f: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = 2 * self.f
+        w = self.param("kernel", _bilinear_up_init, (k, k, 1, self.ch))
+        pad = k - 1 - self.f // 2
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w[::-1, ::-1].astype(self.dtype),
+            window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(self.f, self.f),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.ch)
 
 
 class IDAUp(nn.Module):
-    """Iterative deep aggregation: project + upsample + node-merge
-    (reference centernet_model.py:233-268)."""
+    """Iterative deep aggregation (reference centernet_model.py:233-281):
+    per input, 1x1 proj (identity when channels already match) + grouped
+    ConvTranspose upsample; then sequential concat->3x3 node merges."""
 
     out_ch: int
+    channels: Sequence[int]
     up_factors: Sequence[int]
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, layers: List[jax.Array], train: bool = False):
         layers = list(layers)
+        for i, c in enumerate(self.channels):
+            x = layers[i]
+            if c != self.out_ch:
+                x = ConvBNReLU(self.out_ch, 1, 1, dtype=self.dtype,
+                               name=f"proj_{i}")(x, train)
+            f = int(self.up_factors[i])
+            if f > 1:
+                x = DepthwiseUp(self.out_ch, f, dtype=self.dtype,
+                                name=f"up_{i}")(x)
+            layers[i] = x
+        x = layers[0]
+        ys = []
         for i in range(1, len(layers)):
             x = ConvBNReLU(self.out_ch, 3, 1, dtype=self.dtype,
-                           name=f"proj_{i}")(layers[i], train)
-            if self.up_factors[i] > 1:
-                x = _resize2x(x, self.up_factors[i])
-            x = ConvBNReLU(self.out_ch, 3, 1, dtype=self.dtype,
-                           name=f"node_{i}")(x + layers[i - 1], train)
-            layers[i] = x
-        return layers
+                           name=f"node_{i}")(
+                jnp.concatenate([x, layers[i]], axis=-1), train)
+            ys.append(x)
+        return x, ys
 
 
 class DLAUp(nn.Module):
-    """Full pyramid aggregation (reference centernet_model.py:271-307)."""
+    """Full pyramid aggregation (reference centernet_model.py:284-307),
+    including its in_channels/scales bookkeeping so module shapes and names
+    line up 1:1 for weight import."""
 
     channels: Sequence[int]           # e.g. (64, 128, 256, 512)
     dtype: Dtype = jnp.float32
@@ -203,22 +249,28 @@ class DLAUp(nn.Module):
     @nn.compact
     def __call__(self, layers: List[jax.Array], train: bool = False):
         layers = list(layers)
-        out = [layers[-1]]
-        for i in range(len(layers) - 1):
-            # merge the top (len-1-i)..end levels down one scale
-            sub = layers[len(layers) - 2 - i:]
-            ida = IDAUp(self.channels[len(layers) - 2 - i],
-                        [1] + [2] * (len(sub) - 1), dtype=self.dtype,
-                        name=f"ida_{i}")
-            sub = ida(sub, train)
-            layers[len(layers) - 2 - i:] = sub
-            out.insert(0, sub[-1])
-        return out
+        n = len(layers)
+        channels = list(self.channels)
+        in_channels = list(self.channels)
+        scales = [2 ** i for i in range(n)]
+        x = layers[-1]
+        for i in range(n - 1):
+            j = -i - 2
+            ida = IDAUp(channels[j], tuple(in_channels[j:]),
+                        tuple(s // scales[j] for s in scales[j:]),
+                        dtype=self.dtype, name=f"ida_{i}")
+            x, y = ida(layers[j:], train)
+            layers[-i - 1:] = y
+            scales[j + 1:] = [scales[j]] * (-j - 1)
+            in_channels[j + 1:] = [channels[j]] * (-j - 1)
+        return x
 
 
 class CenterNet(nn.Module):
-    """Heads on the stride-4 aggregated feature; output (B, H/4, W/4, C+4) =
-    [heatmap logits, wh, reg]."""
+    """DLASeg equivalent (reference centernet_model.py:310-379): DLA-34 ->
+    DLAUp from first_level=2 (stride 4) -> three heads, concatenated to
+    (B, H/4, W/4, C+4) in the reference's [heatmap, wh, reg] order. Heads
+    are conv3x3(+bias) -> ReLU -> conv1x1(+bias), no BN (:323-331)."""
 
     num_classes: int = 20
     head_channels: int = 256
@@ -228,22 +280,22 @@ class CenterNet(nn.Module):
     def __call__(self, x, train: bool = False) -> jax.Array:
         feats = DLA34(dtype=self.dtype, name="dla")(x, train)
         # first_level = 2 (stride 4); aggregate levels 2..5
-        sub = feats[2:]
-        ch = DLA34_CHANNELS[2:]
-        sub = DLAUp(ch, dtype=self.dtype, name="dla_up")(sub, train)
-        # final IDA to stride 4 over the 3 finest outputs
-        y = IDAUp(ch[0], [1, 2, 4], dtype=self.dtype, name="ida_final")(
-            sub[:3], train)[-1]
+        y = DLAUp(DLA34_CHANNELS[2:], dtype=self.dtype, name="dla_up")(
+            feats[2:], train)
 
         def head(name, n_out, bias_init=0.0):
-            h = ConvBNReLU(self.head_channels, 3, 1, dtype=self.dtype,
-                           name=f"{name}_0")(y, train)
+            h = nn.Conv(self.head_channels, (3, 3), use_bias=True,
+                        padding=((1, 1), (1, 1)), dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"{name}_0")(y)
+            h = nn.relu(h)
             return nn.Conv(
                 n_out, (1, 1), use_bias=True,
                 bias_init=nn.initializers.constant(bias_init),
                 dtype=self.dtype, param_dtype=jnp.float32,
                 name=f"{name}_1")(h)
 
+        # hm bias -2.19 so sigmoid starts near 0.1 (focal stability); the
+        # imported reference bias overwrites this, so parity is unaffected
         hm = head("hm", self.num_classes, bias_init=-2.19)
         wh = head("wh", 2)
         reg = head("reg", 2)
