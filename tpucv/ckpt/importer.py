@@ -368,3 +368,71 @@ def import_centernet(torch_state_dict: Dict[str, Any]) -> Dict[str, Dict]:
         put(params, (f"{f_name}_1", "kernel"), t2j_conv(sd[f"{tp}.2.weight"]))
         put(params, (f"{f_name}_1", "bias"), sd[f"{tp}.2.bias"])
     return {"params": params, "batch_stats": stats}
+
+
+def _convert_named_conv_bn(sd, conv_key: str, bn_key: str,
+                           params: Dict, stats: Dict, fp: Tuple[str, ...]):
+    """torch conv at ``conv_key``.weight + BN at ``bn_key``.* -> tpucv
+    BNConv/ConvBNReLU {conv, bn} children at ``fp``."""
+    put(params, fp + ("conv", "kernel"), t2j_conv(sd[f"{conv_key}.weight"]))
+    put(params, fp + ("bn", "scale"), sd[f"{bn_key}.weight"])
+    put(params, fp + ("bn", "bias"), sd[f"{bn_key}.bias"])
+    put(stats, fp + ("bn", "mean"), sd[f"{bn_key}.running_mean"])
+    put(stats, fp + ("bn", "var"), sd[f"{bn_key}.running_var"])
+
+
+def import_resnet(torch_state_dict: Dict[str, Any],
+                  prefix: str = "") -> Dict[str, Dict]:
+    """torchvision-style ResNet (reference core/models/resnet.py) ->
+    tpucv ResNet pytrees (stem + layer{L}_{b}/{cv1,cv2,cv3,down})."""
+    sd = {k: np.asarray(v) for k, v in torch_state_dict.items()}
+    params: Dict = {}
+    stats: Dict = {}
+    _convert_named_conv_bn(sd, f"{prefix}conv1", f"{prefix}bn1",
+                           params, stats, ("stem",))
+    li = 1
+    while f"{prefix}layer{li}.0.conv1.weight" in sd:
+        b = 0
+        while f"{prefix}layer{li}.{b}.conv1.weight" in sd:
+            tp = f"{prefix}layer{li}.{b}"
+            fp = (f"layer{li}_{b}",)
+            for ci in (1, 2, 3):
+                _convert_named_conv_bn(sd, f"{tp}.conv{ci}", f"{tp}.bn{ci}",
+                                       params, stats, fp + (f"cv{ci}",))
+            if f"{tp}.downsample.0.weight" in sd:
+                _convert_named_conv_bn(
+                    sd, f"{tp}.downsample.0", f"{tp}.downsample.1",
+                    params, stats, fp + ("down",))
+            b += 1
+        li += 1
+    return {"params": params, "batch_stats": stats}
+
+
+def import_deeplab(torch_state_dict: Dict[str, Any]) -> Dict[str, Dict]:
+    """Full reference DeeplabV3Plus (core/models/deeplabv3plus.py:122-149)
+    state_dict -> tpucv DeeplabV3Plus pytrees."""
+    sd = {k: np.asarray(v) for k, v in torch_state_dict.items()}
+    bb = import_resnet(sd, prefix="backbone.")
+    params: Dict = {"backbone": bb["params"]}
+    stats: Dict = {"backbone": bb["batch_stats"]}
+
+    c = "classifier."
+    # low-level projection (DeeplabHeadV3Plus.project :88-92)
+    _convert_named_conv_bn(sd, f"{c}project.0", f"{c}project.1",
+                           params, stats, ("low_proj",))
+    # ASPP branches: convs.0 = 1x1, convs.1..3 = atrous 3x3, convs.4 = pool
+    for i in range(4):
+        _convert_named_conv_bn(sd, f"{c}aspp.convs.{i}.0",
+                               f"{c}aspp.convs.{i}.1",
+                               params, stats, ("aspp", f"b{i}"))
+    _convert_named_conv_bn(sd, f"{c}aspp.convs.4.1", f"{c}aspp.convs.4.2",
+                           params, stats, ("aspp", "pool"))
+    _convert_named_conv_bn(sd, f"{c}aspp.project.0", f"{c}aspp.project.1",
+                           params, stats, ("aspp", "proj"))
+    # decoder: classifier.classifier = [conv3x3, BN, ReLU, conv1x1]
+    _convert_named_conv_bn(sd, f"{c}classifier.0", f"{c}classifier.1",
+                           params, stats, ("dec1",))
+    put(params, ("classifier", "kernel"),
+        t2j_conv(sd[f"{c}classifier.3.weight"]))
+    put(params, ("classifier", "bias"), sd[f"{c}classifier.3.bias"])
+    return {"params": params, "batch_stats": stats}

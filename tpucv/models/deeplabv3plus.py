@@ -35,7 +35,8 @@ class ASPP(nn.Module):
         ys.append(gp)
         y = jnp.concatenate(ys, axis=-1)
         y = BNConv(self.out_ch, 1, dtype=self.dtype, name="proj")(y, train)
-        return nn.Dropout(0.5, deterministic=not train, name="drop")(y)
+        # reference ASPP.project ends with Dropout(0.1) (deeplabv3plus.py:68)
+        return nn.Dropout(0.1, deterministic=not train, name="drop")(y)
 
 
 class DeeplabV3Plus(nn.Module):
@@ -47,18 +48,22 @@ class DeeplabV3Plus(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         H, W = x.shape[1:3]
-        bb = (resnet101 if self.backbone == "resnet101" else resnet50)(
-            self.output_stride, self.dtype)
+        from tpucv.models.resnet import ResNet
+        layers = (3, 4, 23, 3) if self.backbone == "resnet101" else (3, 4, 6, 3)
+        bb = ResNet(layers, self.output_stride, self.dtype, name="backbone")
         feats = bb(x, train)
-        y = ASPP(dtype=self.dtype, name="aspp")(feats["out"], train)
-        # decoder: upsample 4x to low-level scale, concat projected low-level
+        rates = (12, 24, 36) if self.output_stride == 8 else (6, 12, 18)
+        y = ASPP(rates=rates, dtype=self.dtype, name="aspp")(
+            feats["out"], train)
+        # decoder (reference DeeplabHeadV3Plus :95-121): concat order is
+        # [projected low-level (48), upsampled ASPP (256)], then ONE 3x3
+        # conv+BN+ReLU and the 1x1 classifier
         low = BNConv(48, 1, dtype=self.dtype, name="low_proj")(
             feats["low_level"], train)
         b, lh, lw, _ = low.shape
         y = jax.image.resize(y, (b, lh, lw, y.shape[-1]), "bilinear")
-        y = jnp.concatenate([y, low], axis=-1)
+        y = jnp.concatenate([low, y], axis=-1)
         y = BNConv(256, 3, dtype=self.dtype, name="dec1")(y, train)
-        y = BNConv(256, 3, dtype=self.dtype, name="dec2")(y, train)
         y = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32, name="classifier")(y)
         return jax.image.resize(

@@ -66,12 +66,15 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jax.Array]:
+        # torchvision replace_stride_with_dilation bookkeeping (reference
+        # resnet.py:197-236): the FIRST block of a dilated layer keeps the
+        # previous dilation; later blocks use the increased one.
         if self.output_stride == 32:
-            strides, dils = (1, 2, 2, 2), (1, 1, 1, 1)
+            dilate_flags = (False, False, False, False)
         elif self.output_stride == 16:
-            strides, dils = (1, 2, 2, 1), (1, 1, 1, 2)
+            dilate_flags = (False, False, False, True)
         else:  # 8
-            strides, dils = (1, 2, 1, 1), (1, 1, 2, 4)
+            dilate_flags = (False, False, True, True)
 
         x = BNConv(64, 7, 2, dtype=self.dtype, name="stem")(x, train)
         x = jax.lax.reduce_window(
@@ -80,11 +83,18 @@ class ResNet(nn.Module):
 
         outs = {}
         planes = (64, 128, 256, 512)
-        for li, (n, p, s, d) in enumerate(
-                zip(self.layers, planes, strides, dils)):
+        nominal_strides = (1, 2, 2, 2)
+        dilation = 1
+        for li, (n, p, s, dilate) in enumerate(
+                zip(self.layers, planes, nominal_strides, dilate_flags)):
+            prev_dilation = dilation
+            if dilate:
+                dilation *= s
+                s = 1
             for b in range(n):
                 x = Bottleneck(
-                    p, s=s if b == 0 else 1, dilation=d,
+                    p, s=s if b == 0 else 1,
+                    dilation=prev_dilation if b == 0 else dilation,
                     downsample=(b == 0), dtype=self.dtype,
                     name=f"layer{li + 1}_{b}")(x, train)
             if li == 0:
