@@ -1,12 +1,25 @@
-"""Headline benchmark: YOLOv8n end-to-end images/sec/chip (decode+NMS on-chip).
+"""Headline benchmark: YOLOv8n end-to-end images/sec/chip.
 
-Measures the jitted inference path — forward (bf16) + DFL decode + class-aware
-fixed-shape NMS — on one chip, matching the north-star metric in BASELINE.json
-(>=5000 img/s/chip on v5e). Prints exactly one JSON line.
+The jitted program takes RAW decoded images (uint8 at natural 480x640, the
+typical COCO shape) and does EVERYTHING on-chip: letterbox resize+pad ->
+normalize -> bf16 forward -> DFL decode -> class-aware fixed-shape NMS.
+This matches the BASELINE.json "JPEG -> boxes" metric minus host JPEG
+decode (this host's single core cannot decode 5k JPEG/s; on production
+hosts decode runs on many cores in parallel with the chip).
 
-Timing methodology: distinct input buffers per call, pipelined dispatch, and a
-host fetch of the last output to fence the device stream (a bare
-``block_until_ready`` is not a reliable fence through the axon relay).
+Reported fields:
+  value            — img/s with device-resident input buffers (pipelined),
+                     i.e. the chip's e2e throughput.
+  h2d_img_per_sec  — same program but shipping each uint8 batch through
+                     jax.device_put per call: includes the axon-relay H2D.
+  h2d_gbytes_per_sec — raw tunnel H2D bandwidth measured before any compute
+                     (~1.2 GB/s, vs ~16 GB/s PCIe on a real v5e host). The
+                     relay additionally degrades H2D ~60x permanently after
+                     the first program execution, so h2d_img_per_sec is a
+                     relay artifact, not a property of the pipeline.
+
+Timing: distinct input buffers, pipelined dispatch, host fetch of the last
+output as the fence (block_until_ready is unreliable through the relay).
 """
 
 import json
@@ -19,46 +32,70 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from tpucv.models import get_yolo8_n
-    from tpucv.decode.yolov8 import decode_boxes
-
     from tpucv.algorithms.base import init_on_cpu
+    from tpucv.decode.yolov8 import decode_boxes
+    from tpucv.models import get_yolo8_n
+    from tpucv.ops.preprocess import letterbox_static, normalize_images
 
     batch = 128
+    H, W, S = 480, 640, 640   # the standard COCO val2017 image shape
     model = get_yolo8_n(dtype=jnp.bfloat16)
-    variables = init_on_cpu(model, (1, 640, 640, 3), jnp.bfloat16)
+    variables = init_on_cpu(model, (1, S, S, 3), jnp.bfloat16)
 
     @jax.jit
-    def infer(v, x):
+    def infer(v, raw_u8):
+        # COCO images have max side exactly 640, so the reference letterbox
+        # is a pure centring pad here; odd-sized inputs take the general
+        # tpucv.ops.preprocess.letterbox_images path in the eval harness
+        lb, _, _ = letterbox_static(raw_u8, S)
+        x = normalize_images(lb, jnp.bfloat16)
         raw = model.apply(v, x)
         boxes, scores, classes, valid = decode_boxes(
             raw, conf_threshold=0.25, iou_threshold=0.7, max_det=300,
             pre_nms_topk=512)
-        # reduce to a tiny fetchable fence value that depends on everything
+        # tiny fetchable fence value that depends on everything
         return boxes.sum() + scores.sum() + valid.sum()
 
-    rngs = np.random.default_rng(0)
-    imgs = [
-        jax.device_put(
-            rngs.random((batch, 640, 640, 3), dtype=np.float32)
-        ).astype(jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    host_batches = [
+        rng.integers(0, 255, (batch, H, W, 3), dtype=np.uint8)
         for _ in range(4)
     ]
+    # raw tunnel H2D bandwidth, measured BEFORE any program execution: the
+    # axon relay degrades H2D ~60x permanently after the first program runs
+    # (1.2 GB/s -> ~0.02 GB/s), so h2d_img_per_sec below reflects that
+    # relay pathology, not the framework or real v5e PCIe (~16 GB/s)
+    t0 = time.perf_counter()
+    jax.device_put(host_batches[0]).block_until_ready()
+    bw = host_batches[0].nbytes / (time.perf_counter() - t0) / 1e9
+    dev_batches = [jax.device_put(b) for b in host_batches]
 
-    float(infer(variables, imgs[0]))  # compile + first exec
+    float(infer(variables, dev_batches[0]))            # compile + first exec
 
+    # 1) chip-resident e2e (headline)
     n_iters = 40
     t0 = time.perf_counter()
-    outs = [infer(variables, imgs[i % 4]) for i in range(n_iters)]
-    float(outs[-1])  # host fetch fences the in-order device stream
-    dt = time.perf_counter() - t0
+    outs = [infer(variables, dev_batches[i % 4]) for i in range(n_iters)]
+    float(outs[-1])                                    # fence
+    ips = batch * n_iters / (time.perf_counter() - t0)
 
-    ips = batch * n_iters / dt
+    # 2) H2D-included e2e through the relay (post-execution relay state)
+    n2 = 2
+    t0 = time.perf_counter()
+    outs = [infer(variables, jax.device_put(host_batches[i % 4]))
+            for i in range(n2)]
+    float(outs[-1])
+    ips_h2d = batch * n2 / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "yolov8n_640_e2e_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(ips / 5000.0, 4),
+        "h2d_img_per_sec": round(ips_h2d, 2),
+        "h2d_gbytes_per_sec": round(bw, 3),
+        "pipeline": "uint8 480x640 -> on-chip letterbox(pad)+normalize"
+                    "+forward+decode+NMS",
     }))
 
 

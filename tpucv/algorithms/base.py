@@ -89,28 +89,60 @@ class DetectionAlgorithm:
         return {"boxes": boxes, "scores": scores, "classes": classes,
                 "image": img, "saved": out_path}
 
+    # raw-image canvas edge for the device-side letterbox path; COCO and
+    # VOC images never exceed 640 on a side
+    RAW_CANVAS = 640
+
     def _batched_detections(self, variables, index, batch_size: int,
                             conf_threshold: float):
+        """Batched eval loop with the letterbox ON DEVICE: the host ships
+        each raw decoded image once (top-left on a fixed uint8 canvas) and
+        the chip does resize+pad+normalize+forward+decode+NMS in one jitted
+        program — host work is JPEG decode only (VERDICT round 1, item 3;
+        replaces the reference's per-image host cv2 letter_box at
+        core/utils/image_process.py:48-66 + core/algorithms/yolo_v8.py:345)."""
+        from tpucv.ops.preprocess import letterbox_images
+
         infer = self.make_infer_fn(conf_threshold=conf_threshold)
         s = self.input_size
+        C = self.RAW_CANVAS
+
+        @jax.jit
+        def letterbox_and_infer(variables, canvases, hw):
+            lb, scale, pad = letterbox_images(canvases, hw, s)
+            boxes, scores, classes, valid = infer(variables, lb)
+            return boxes, scores, classes, valid, scale, pad
+
         n = len(index)
         for start in range(0, n, batch_size):
             idxs = list(range(start, min(start + batch_size, n)))
-            canvases, metas = [], []
-            for i in idxs:
+            canvases = np.zeros((batch_size, C, C, 3), np.uint8)
+            hw = np.ones((batch_size, 2), np.int32)
+            oshapes, prescales = [], []
+            for j, i in enumerate(idxs):
                 path, _, _ = index[i]
                 img = read_image(path) if isinstance(path, str) else path
-                canvas, scale, pad = letter_box(img, (s, s))
-                canvases.append(canvas)
-                metas.append((scale, pad, img.shape[:2]))
-            while len(canvases) < batch_size:  # static batch shape
-                canvases.append(np.zeros_like(canvases[0]))
-            boxes_b, scores_b, classes_b, valid_b = jax.device_get(
-                infer(variables, jnp.asarray(np.stack(canvases))))
+                pre = 1.0
+                if img.shape[0] > C or img.shape[1] > C:
+                    # rare: pre-shrink on host so the raw fits the canvas
+                    import cv2
+                    pre = C / max(img.shape[:2])
+                    img = cv2.resize(
+                        img, (int(img.shape[1] * pre), int(img.shape[0] * pre)),
+                        interpolation=cv2.INTER_AREA)
+                h, w = img.shape[:2]
+                canvases[j, :h, :w] = img
+                hw[j] = (h, w)
+                oshapes.append((int(round(h / pre)), int(round(w / pre))))
+                prescales.append(pre)
+            boxes_b, scores_b, classes_b, valid_b, scale_b, pad_b = \
+                jax.device_get(letterbox_and_infer(
+                    variables, jnp.asarray(canvases), jnp.asarray(hw)))
             for j, i in enumerate(idxs):
-                scale, pad, oshape = metas[j]
                 v = valid_b[j]
-                boxes = reverse_letter_box(boxes_b[j][v], scale, pad, oshape)
+                boxes = reverse_letter_box(
+                    boxes_b[j][v], float(scale_b[j]) * prescales[j],
+                    tuple(pad_b[j]), oshapes[j])
                 yield i, boxes, scores_b[j][v], classes_b[j][v]
 
     # -------- evaluation harnesses ---------------------------------------
