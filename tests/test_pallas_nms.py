@@ -39,3 +39,26 @@ def test_pallas_nms_batched():
     idx1, v1 = pallas_nms(b1, s1, 0.5, 32, interpret=True)
     assert set(np.asarray(idx[0])[np.asarray(valid[0])].tolist()) == \
         set(np.asarray(idx1[0])[np.asarray(v1[0])].tolist())
+
+
+def test_pallas_nms_deep_suppression_chain():
+    """A 60-deep chain of pairwise-overlapping boxes with descending scores:
+    greedy keeps every second box. The suppression wave needs ~chain-depth
+    sweeps, exercising the run-to-fixpoint while_loop (the old bounded
+    16-sweep kernel under-suppressed here)."""
+    n_chain, N = 60, 64
+    boxes = np.zeros((1, N, 4), np.float32)
+    scores = np.zeros((1, N), np.float32)
+    for i in range(n_chain):
+        # each box overlaps its neighbour at IoU 8/12=0.67 (>0.5) and its
+        # second neighbour at 6/14=0.43 (<0.5): suppression chains, greedy
+        # keeps evens
+        boxes[0, i] = [i * 2.0, 0, i * 2.0 + 10.0, 10.0]
+        scores[0, i] = 1.0 - i * 0.01
+    idx_p, v_p = pallas_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                            0.5, N, interpret=True)
+    idx_s, v_s = nms(jnp.asarray(boxes[0]), jnp.asarray(scores[0]), 0.5, N)
+    keep_p = sorted(np.asarray(idx_p[0])[np.asarray(v_p[0])].tolist())
+    keep_s = sorted(np.asarray(idx_s)[np.asarray(v_s)].tolist())
+    assert keep_p == keep_s
+    assert keep_p == list(range(0, n_chain, 2))  # greedy keeps evens

@@ -45,6 +45,10 @@ class YOLOv8(DetectionAlgorithm):
         model = model or self.build_model()
         d = self.cfg.decode
         conf = d.conf_threshold if conf_threshold is None else conf_threshold
+        # predict-style confidences (0.25) gate candidates down to a few
+        # hundred, so cap k at 1024 and take the VMEM Pallas NMS; eval-style
+        # floods (conf=0.001) use the full cfg cap + scan NMS
+        topk = d.pre_nms_topk if conf < 0.01 else min(d.pre_nms_topk, 1024)
 
         @jax.jit
         def infer(variables, images_u8):
@@ -54,6 +58,6 @@ class YOLOv8(DetectionAlgorithm):
                 raw, nc=self.nc, reg_max=self.cfg.arch.reg_max,
                 strides=self.cfg.arch.strides,
                 conf_threshold=conf, iou_threshold=d.iou_threshold,
-                max_det=d.max_det, pre_nms_topk=d.pre_nms_topk)
+                max_det=d.max_det, pre_nms_topk=topk)
 
         return infer

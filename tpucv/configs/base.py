@@ -58,7 +58,11 @@ class DecodeCfg:
     conf_threshold: float = 0.25
     iou_threshold: float = 0.7
     max_det: int = 300
-    pre_nms_topk: int = 2048
+    # candidate cap before NMS. The reference floods up to max_nms=30000 at
+    # eval conf=0.001 (ultralytics_ops.py:166); 4096 top-by-score candidates
+    # cover realistic post-gate survivor counts while keeping static shapes
+    # (k > 1024 routes to the memory-light scan NMS in decode_boxes)
+    pre_nms_topk: int = 4096
 
 
 @dataclass

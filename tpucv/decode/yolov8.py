@@ -84,14 +84,22 @@ def decode_boxes(
     boxes = all_boxes[bi, top_idx]                          # (B, K, 4)
     top_cls = best_cls[bi, top_idx]
 
-    use_pallas = jax.default_backend() == "tpu" and k <= 1024
     off = boxes + top_cls[..., None].astype(boxes.dtype) * 7680.0
-    if use_pallas:
+    if jax.default_backend() == "tpu" and k <= 1024:
+        # VMEM-resident fixpoint kernel (exact greedy keep-set)
         from tpucv.ops.pallas_nms import pallas_nms
         idx, valid = pallas_nms(off, top_scores, iou_threshold, max_det)
-    else:
+    elif k <= 1024:
         idx, valid = jax.vmap(
             lambda b, s: nms_fixpoint(b, s, iou_threshold, max_det)
+        )(off, top_scores)
+    else:
+        # eval-path candidate floods (conf=0.001, k up to 4096+): the O(k^2)
+        # overlap matrix would be ~67 MB/image, so use the O(max_det*k)
+        # sequential-scan greedy NMS instead (exact, memory-light)
+        from tpucv.ops.nms import nms
+        idx, valid = jax.vmap(
+            lambda b, s: nms(b, s, iou_threshold, max_det)
         )(off, top_scores)
     out_boxes = jnp.take_along_axis(boxes, idx[..., None].repeat(4, -1), 1)
     out_scores = jnp.where(valid, jnp.take_along_axis(top_scores, idx, 1), 0.0)

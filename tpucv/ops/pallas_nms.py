@@ -7,10 +7,11 @@ builds the IoU-overlap matrix in a VMEM scratch, runs the suppression-wave
 fixpoint entirely on-chip, and writes the final keep mask. For N = 1024 the
 f32 matrix is 4 MB — VMEM-resident.
 
-Exactness: identical keep-set to sequential greedy NMS at fixpoint; the
-sweep count is bounded (default 16), so suppression chains deeper than
-max_iters can under-suppress — raise max_iters for adversarial inputs
-(realistic detection sets settle in <8 sweeps).
+Exactness: identical keep-set to sequential greedy NMS — the suppression
+wave runs to FIXPOINT (a while_loop on a scalar `changed` flag), so deep
+chains are exact; max_iters (default 64) is only a divergence backstop.
+Realistic detection sets settle in <8 sweeps, so the loop costs the same
+as the old bounded version.
 """
 
 from __future__ import annotations
@@ -51,14 +52,23 @@ def _nms_kernel(boxes_ref, scores_ref, keep_ref, overlap_scratch, sup_scratch,
     invalid = jnp.where(scores <= 0.0, 1.0, 0.0)               # (N, 1) f32
     sup_scratch[:] = invalid
 
-    def body(_i, carry):
-        # state lives in the VMEM scratch ref (Mosaic cannot carry vectors)
+    def cond(carry):
+        it, changed = carry
+        return changed & (it < max_iters)
+
+    def body(carry):
+        it, _ = carry
+        # state lives in the VMEM scratch ref (Mosaic cannot carry vectors);
+        # the loop runs to FIXPOINT (scalar `changed` carry), so arbitrarily
+        # deep suppression chains are exact — max_iters is only a backstop
         active = (1.0 - sup_scratch[:]) * (1.0 - invalid)      # (N, 1)
         hit = jnp.max(overlap_scratch[:] * active.T, axis=1, keepdims=True)
-        sup_scratch[:] = jnp.maximum(jnp.where(hit > 0.0, 1.0, 0.0), invalid)
-        return carry
+        new_sup = jnp.maximum(jnp.where(hit > 0.0, 1.0, 0.0), invalid)
+        changed = jnp.sum(jnp.abs(new_sup - sup_scratch[:])) > 0.0
+        sup_scratch[:] = new_sup
+        return it + 1, changed
 
-    jax.lax.fori_loop(0, max_iters, body, 0)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(True)))
     keep_ref[0] = (1.0 - sup_scratch[:]) * (1.0 - invalid)
 
 
@@ -66,7 +76,7 @@ def pallas_nms_keep(
     boxes_sorted: jax.Array,      # (B, N, 4) f32, sorted by score desc
     scores_sorted: jax.Array,     # (B, N) f32 (<=0 marks invalid)
     iou_threshold: float = 0.45,
-    max_iters: int = 16,
+    max_iters: int = 64,
     interpret: bool = False,
 ) -> jax.Array:
     """Returns keep mask (B, N) float (1.0 = kept)."""
