@@ -68,3 +68,25 @@ def test_warmup_multistep_schedule_values():
     assert abs(float(sched(50)) - 1.0) < 1e-6
     assert abs(float(sched(150)) - 0.1) < 1e-6
     assert abs(float(sched(250)) - 0.01) < 1e-6
+
+
+def test_exponential_warmup_matches_reference_formula():
+    """warmup_kind='exponential' == the vendored pytorch_warmup
+    ExponentialWarmup factor 1 - exp(-(step+1)/period) (reference
+    warm_up.py:106-119), composed with multistep decay."""
+    import math
+    from tpucv.train.schedules import (
+        untuned_exponential_warmup_tau, untuned_linear_warmup_period)
+
+    tau = 25
+    sched = warmup_multistep(2.0, tau, [50], 0.1,
+                             warmup_kind="exponential")
+    for step in (0, 5, 24, 49, 60):
+        expect = 2.0 * (1.0 - math.exp(-(step + 1) / tau))
+        if step >= 50:
+            expect *= 0.1
+        assert abs(float(sched(step)) - expect) < 1e-6, step
+
+    # untuned periods follow the Adam rule (warm_up.py:123-159)
+    assert untuned_linear_warmup_period(0.999) == 2000
+    assert abs(untuned_exponential_warmup_tau(0.999) - 1000.0) < 1e-9

@@ -75,11 +75,14 @@ class COCOMeanAP:
         dts = self._dts.get((img_id, cat_id), [])
         if not gts and not dts:
             return None
+        # pycocotools ignores a gt when area < rng[0] or area > rng[1] —
+        # both bounds INCLUSIVE in-range (cocoeval.evaluateImg), so an area
+        # exactly on a boundary (e.g. 32^2) is in BOTH adjacent ranges
         g_ignore = np.array([
             bool(g.get("iscrowd", 0))
-            or not (area_rng[0] <= g.get(
-                "area", g["bbox"][2] * g["bbox"][3]) < area_rng[1])
-            for g in gts])
+            or g.get("area", g["bbox"][2] * g["bbox"][3]) < area_rng[0]
+            or g.get("area", g["bbox"][2] * g["bbox"][3]) > area_rng[1]
+            for g in gts], dtype=bool)
         # sort gts: non-ignored first (pycocotools gtind ordering)
         g_order = np.argsort(g_ignore, kind="stable")
         gts = [gts[i] for i in g_order]
@@ -115,9 +118,10 @@ class COCOMeanAP:
                 dt_ig[ti, di] = g_ignore[bestg]
                 dt_m[ti, di] = bestg
                 gt_m[ti, bestg] = di
-        # unmatched dets outside the area range are ignored
+        # unmatched dets outside the area range are ignored (same inclusive
+        # bounds as gts: ignored iff area < rng[0] or area > rng[1])
         d_area = d_boxes[:, 2] * d_boxes[:, 3]
-        d_out = (d_area < area_rng[0]) | (d_area >= area_rng[1])
+        d_out = (d_area < area_rng[0]) | (d_area > area_rng[1])
         dt_ig = dt_ig | ((dt_m == -1) & d_out[None])
         return {
             "scores": np.array([d["score"] for d in dts]),
