@@ -29,10 +29,12 @@ def select_candidates_in_gts(
 ) -> jax.Array:
     """(A,2) anchor centres inside (B,M,4) xyxy GTs -> (B,M,A) bool
     (reference bboxes.py:231-246)."""
+    # four (B,M,A) compares ANDed instead of a stacked (B,M,A,4) delta
+    # tensor + min — same boolean, 4x less HBM traffic on the train path
     x, y = anc_points[:, 0], anc_points[:, 1]                  # (A,)
     x1, y1, x2, y2 = (gt_bboxes[..., i][..., None] for i in range(4))  # (B,M,1)
-    deltas = jnp.stack([x - x1, y - y1, x2 - x, y2 - y], axis=-1)      # (B,M,A,4)
-    return jnp.min(deltas, axis=-1) > eps
+    return ((x - x1 > eps) & (y - y1 > eps)
+            & (x2 - x > eps) & (y2 - y > eps))
 
 
 def select_highest_overlaps(

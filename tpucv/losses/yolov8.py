@@ -71,14 +71,21 @@ def yolov8_loss(
     feat_shapes = [m.shape[1:3] for m in raw_maps]
     anchor_points, stride_arr = make_anchors(feat_shapes, strides)  # (A,2),(A,1)
 
+    # On TPU the big (B, A, *) tensors stay bf16 (the raw maps already are)
+    # and only reductions accumulate in f32 — the loss costs ~30% of a train
+    # step and is HBM-bandwidth-bound. CPU keeps f32 end-to-end so the
+    # golden value tests against the torch reference stay exact.
+    cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     flat = [m.reshape(B, -1, m.shape[-1]) for m in raw_maps]
-    x = jnp.concatenate(flat, axis=1).astype(jnp.float32)    # (B, A, no)
+    x = jnp.concatenate(flat, axis=1).astype(cdt)             # (B, A, no)
     pred_dist_logits = x[..., : 4 * reg_max]                  # (B, A, 64)
     pred_cls_logits = x[..., 4 * reg_max:]                    # (B, A, nc)
     pred_scores = jax.nn.sigmoid(pred_cls_logits)
 
-    # decode boxes at feature scale (grid units), like reference bbox_decode
-    dist = dfl_project(pred_dist_logits, reg_max)             # (B, A, 4)
+    # decode boxes at feature scale (grid units), like reference bbox_decode.
+    # The small (B, A, 4) geometry stays f32: bf16 coords at ~80 grid units
+    # would quantise to ~0.25 cells and poison the CIoU gradient.
+    dist = dfl_project(pred_dist_logits, reg_max).astype(jnp.float32)
     pred_bboxes = dist2bbox(dist, anchor_points[None])        # (B, A, 4) grid units
 
     # assigner works in pixel units (reference yolo_v8.py:96-104)
@@ -89,24 +96,28 @@ def yolov8_loss(
         gt_labels, gt_bboxes, gt_mask,
         topk=tal_topk, num_classes=nc,
     )
-    target_bboxes = assigned.target_bboxes / stride_arr[None]  # grid units
+    target_bboxes = (assigned.target_bboxes.astype(jnp.float32)
+                     / stride_arr[None])                       # grid units
     target_scores = assigned.target_scores
     fg = assigned.fg_mask
-    tss = jnp.maximum(target_scores.sum(), 1.0)
+    tss = jnp.maximum(target_scores.sum(dtype=jnp.float32), 1.0)
 
     # cls: BCE with soft targets, sum / target_scores_sum (yolo_v8.py:108-109)
-    bce = sigmoid_bce(pred_cls_logits, target_scores)
-    loss_cls = bce.sum() / tss
+    # — elementwise in the compute dtype, accumulated in f32
+    bce = sigmoid_bce(pred_cls_logits, target_scores.astype(cdt))
+    loss_cls = bce.sum(dtype=jnp.float32) / tss
 
     # box: CIoU weighted by anchor target-score weight (ultralytics_loss.py:36-40)
-    weight = target_scores.sum(-1)                             # (B, A)
+    weight = target_scores.sum(-1, dtype=jnp.float32)          # (B, A)
     iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, ciou=True)
-    loss_box = (jnp.where(fg, (1.0 - iou) * weight, 0.0)).sum() / tss
+    loss_box = (jnp.where(fg, (1.0 - iou) * weight, 0.0)
+                ).sum(dtype=jnp.float32) / tss
 
     # dfl (ultralytics_loss.py:42-48)
     target_ltrb = bbox2dist(target_bboxes, anchor_points[None], reg_max - 1)
     df = _df_loss(pred_dist_logits.reshape(B, -1, 4, reg_max), target_ltrb)
-    loss_dfl = (jnp.where(fg, df * weight, 0.0)).sum() / tss
+    loss_dfl = (jnp.where(fg, df.astype(jnp.float32) * weight, 0.0)
+                ).sum(dtype=jnp.float32) / tss
 
     total = (box_gain * loss_box + cls_gain * loss_cls + dfl_gain * loss_dfl) * B
     return total, {
