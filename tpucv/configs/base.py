@@ -15,7 +15,8 @@ class DatasetCfg:
     name: str = "coco"                  # "voc" | "coco"
     input_size: int = 640               # square model input
     max_num_boxes: int = 100            # static GT pad per image
-    num_workers: int = 2
+    num_workers: int = 0                # >0: forked shm loader workers
+                                        # (reference default is also 0)
 
 
 @dataclass

@@ -265,7 +265,12 @@ class SyntheticDetectionIndex:
     def __getitem__(self, i: int):
         rng = np.random.default_rng(self.seed * 100003 + i)
         S = self.image_size
-        img = rng.integers(0, 60, (S, S, 3), dtype=np.uint8)
+        # tile a small noise patch instead of S^2 rng draws: full-frame noise
+        # was 60%+ of loader benchmark time and adds nothing for tests
+        t = min(64, S)
+        patch = rng.integers(0, 60, (t, t, 3), dtype=np.uint8)
+        reps = -(-S // t)
+        img = np.tile(patch, (reps, reps, 1))[:S, :S].copy()
         n_obj = int(rng.integers(1, self.max_objects + 1))
         boxes, labels = [], []
         for _ in range(n_obj):

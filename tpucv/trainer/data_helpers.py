@@ -49,5 +49,6 @@ def build_detection_loaders(cfg, logger=None) -> Tuple[Loader, Loader]:
     val_ds = DetectionDataset(
         val_idx, cfg.dataset.input_size, cfg.dataset.max_num_boxes,
         train=False)
-    return (Loader(train_ds, t.batch_size, shuffle=True),
-            Loader(val_ds, t.batch_size, shuffle=False))
+    nw = getattr(cfg.dataset, "num_workers", 0)
+    return (Loader(train_ds, t.batch_size, shuffle=True, num_workers=nw),
+            Loader(val_ds, t.batch_size, shuffle=False, num_workers=nw))

@@ -37,12 +37,15 @@ class DeeplabV3PlusTrainer(BaseTrainer):
             print(f"dataset root {root!r} not found — using synthetic seg data")
             train_s = synthetic_seg_samples(32, crop, cfg.num_classes, 0)
             val_s = synthetic_seg_samples(8, crop, cfg.num_classes, 1)
+        nw = getattr(cfg.dataset, "num_workers", 0)
         self.train_loader = Loader(
             SegmentationDataset(train_s, crop, train=True),
-            cfg.train.batch_size, shuffle=True, collate=segmentation_collate)
+            cfg.train.batch_size, shuffle=True, collate=segmentation_collate,
+            num_workers=nw)
         self.val_loader = Loader(
             SegmentationDataset(val_s, crop, train=False),
-            cfg.train.batch_size, shuffle=False, collate=segmentation_collate)
+            cfg.train.batch_size, shuffle=False, collate=segmentation_collate,
+            num_workers=nw)
 
     def device_batch(self, batch, train: bool = False):
         out = super().device_batch(batch)  # seg keeps host-side aug
