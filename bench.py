@@ -20,12 +20,63 @@ Reported fields:
 
 Timing: distinct input buffers, pipelined dispatch, host fetch of the last
 output as the fence (block_until_ready is unreliable through the relay).
+
+Also reports the TRAINING step (train_img_per_sec): the production
+``make_train_step`` (fwd + YOLOv8 TAL loss + bwd + adam update + EMA,
+donated state) at batch 128 / 640^2 bf16 — the reference's headline train
+path (``core/trainer/yolo8_train.py``).
 """
 
 import json
 import time
 
 import numpy as np
+
+
+def bench_train_step():
+    """Throughput of the real jitted train step (YOLOv8n, batch 128)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpucv.algorithms.base import init_on_cpu
+    from tpucv.losses.yolov8 import yolov8_loss
+    from tpucv.models import get_yolo8_n
+    from tpucv.train.state import TrainState, make_train_step
+
+    B, S, M = 128, 640, 32
+    model = get_yolo8_n(dtype=jnp.bfloat16)
+    variables = init_on_cpu(model, (1, S, S, 3), jnp.bfloat16)
+
+    def loss_fn(raw, batch):
+        loss, metrics = yolov8_loss(
+            raw, batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"],
+            nc=80, strides=(8, 16, 32))
+        return loss, metrics
+
+    tx = optax.adam(1e-3)
+    state = TrainState.create(
+        variables["params"], variables["batch_stats"], tx, use_ema=True)
+    train_step = make_train_step(model.apply, loss_fn, tx, ema_decay=0.9999)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jax.device_put(
+            rng.random((B, S, S, 3), dtype=np.float32)).astype(jnp.bfloat16),
+        "gt_labels": jax.device_put(rng.integers(0, 80, (B, M)).astype(np.int32)),
+        "gt_bboxes": jax.device_put((rng.random((B, M, 4)) * 300).astype(np.float32)),
+        "gt_mask": jax.device_put(np.ones((B, M), bool)),
+    }
+    state = jax.device_put(state)
+    state, m = train_step(state, batch)        # compile + first exec
+    float(m["loss"])
+    n = 12
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, m = train_step(state, batch)
+    float(m["loss"])                           # fence: in-order device stream
+    dt = (time.perf_counter() - t0) / n
+    return B / dt, dt * 1e3
 
 
 def main():
@@ -87,6 +138,8 @@ def main():
     float(outs[-1])
     ips_h2d = batch * n2 / (time.perf_counter() - t0)
 
+    train_ips, train_ms = bench_train_step()
+
     print(json.dumps({
         "metric": "yolov8n_640_e2e_images_per_sec_per_chip",
         "value": round(ips, 2),
@@ -94,6 +147,8 @@ def main():
         "vs_baseline": round(ips / 5000.0, 4),
         "h2d_img_per_sec": round(ips_h2d, 2),
         "h2d_gbytes_per_sec": round(bw, 3),
+        "train_img_per_sec": round(train_ips, 2),
+        "train_step_ms": round(train_ms, 2),
         "pipeline": "uint8 480x640 -> on-chip letterbox(pad)+normalize"
                     "+forward+decode+NMS",
     }))

@@ -6,8 +6,25 @@ maxDets, and the -1 empty-bucket convention.
 """
 
 import numpy as np
+import pytest
 
 from tpucv.metrics.coco_map import COCOMeanAP, IOU_THRS
+
+
+@pytest.fixture(autouse=True, params=["numpy", "native"])
+def engine(request, monkeypatch):
+    """Run every edge fixture through BOTH engines: the numpy reference and
+    the C++ core (tpucv/native/cocoeval.cpp)."""
+    use_native = request.param == "native"
+    if use_native:
+        from tpucv.native import load
+        if load("cocoeval") is None:
+            pytest.skip("native cocoeval unavailable (no g++)")
+    orig = COCOMeanAP.accumulate
+    monkeypatch.setattr(
+        COCOMeanAP, "accumulate",
+        lambda self: orig(self, use_native=use_native))
+    return request.param
 
 
 def _gt(img, cat, box, area=None, iscrowd=0):

@@ -129,8 +129,75 @@ class COCOMeanAP:
             "num_gt": int((~g_ignore).sum()),
         }
 
+    # -------------------------------------------------- native accumulation
+    def _accumulate_native(self) -> bool:
+        """Full evaluate+accumulate in C++ (tpucv/native/cocoeval.cpp) —
+        the counterpart of pycocotools' C core. Returns False when the
+        native library is unavailable (caller falls back to numpy)."""
+        from tpucv.native import load
+        lib = load("cocoeval")
+        if lib is None:
+            return False
+        import ctypes as C
+
+        img_idx = {im: i for i, im in enumerate(self.img_ids)}
+        cat_idx = {c: i for i, c in enumerate(self.cat_ids)}
+        gts = [g for k, v in self._gts.items() for g in v
+               if k[1] in cat_idx]
+        dts = [d for k, v in self._dts.items() for d in v
+               if k[1] in cat_idx]
+
+        def arr(data, dtype):
+            return np.ascontiguousarray(data, dtype=dtype)
+
+        g_boxes = arr([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
+        g_crowd = arr([bool(g.get("iscrowd", 0)) for g in gts], np.uint8)
+        g_area = arr([g.get("area", g["bbox"][2] * g["bbox"][3])
+                      for g in gts], np.float64)
+        g_img = arr([img_idx[g["image_id"]] for g in gts], np.int32)
+        g_cat = arr([cat_idx[g["category_id"]] for g in gts], np.int32)
+        d_boxes = arr([d["bbox"] for d in dts], np.float64).reshape(-1, 4)
+        d_score = arr([d["score"] for d in dts], np.float64)
+        d_img = arr([img_idx[d["image_id"]] for d in dts], np.int32)
+        d_cat = arr([cat_idx[d["category_id"]] for d in dts], np.int32)
+
+        T, R = len(IOU_THRS), len(REC_THRS)
+        K, A, M = len(self.cat_ids), len(AREA_RNG), len(MAX_DETS)
+        precision = np.full((T, R, K, A, M), -1.0)
+        recall = np.full((T, K, A, M), -1.0)
+        area = arr([b for rng in AREA_RNG.values() for b in rng], np.float64)
+        maxd = arr(MAX_DETS, np.int32)
+        iou_t = arr(IOU_THRS, np.float64)
+        rec_t = arr(REC_THRS, np.float64)
+
+        p = C.POINTER(C.c_double)
+        pi32 = C.POINTER(C.c_int32)
+        pu8 = C.POINTER(C.c_uint8)
+
+        def dp(a):
+            return a.ctypes.data_as(p)
+
+        lib.cocoeval_bbox(
+            C.c_int(len(gts)), dp(g_boxes), g_crowd.ctypes.data_as(pu8),
+            dp(g_area), g_img.ctypes.data_as(pi32), g_cat.ctypes.data_as(pi32),
+            C.c_int(len(dts)), dp(d_boxes), dp(d_score),
+            d_img.ctypes.data_as(pi32), d_cat.ctypes.data_as(pi32),
+            C.c_int(len(self.img_ids)), C.c_int(K),
+            C.c_int(T), dp(iou_t), C.c_int(R), dp(rec_t),
+            C.c_int(A), dp(area), C.c_int(M), maxd.ctypes.data_as(pi32),
+            dp(precision), dp(recall))
+        self.precision = precision
+        self.recall = recall
+        return True
+
     # -------------------------------------------------------- accumulation
-    def accumulate(self):
+    def accumulate(self, use_native: bool | None = None):
+        """use_native: True = require C++ core, False = numpy reference,
+        None (default) = native when buildable, else numpy."""
+        if use_native is not False and self._accumulate_native():
+            return self
+        if use_native is True:
+            raise RuntimeError("native cocoeval library unavailable")
         T, R = len(IOU_THRS), len(REC_THRS)
         K, A, M = len(self.cat_ids), len(AREA_RNG), len(MAX_DETS)
         precision = -np.ones((T, R, K, A, M))
