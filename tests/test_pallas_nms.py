@@ -62,3 +62,25 @@ def test_pallas_nms_deep_suppression_chain():
     keep_s = sorted(np.asarray(idx_s)[np.asarray(v_s)].tolist())
     assert keep_p == keep_s
     assert keep_p == list(range(0, n_chain, 2))  # greedy keeps evens
+
+
+def test_presorted_matches_unsorted_path():
+    """presorted=True on already-descending scores (the production decode
+    feeds lax.top_k output) must give the same keep-set as the argsort
+    path."""
+    rng = np.random.default_rng(5)
+    B, N = 3, 96
+    boxes = np.zeros((B, N, 4), np.float32)
+    xy = rng.random((B, N, 2)).astype(np.float32) * 100
+    wh = rng.random((B, N, 2)).astype(np.float32) * 40 + 5
+    boxes[..., :2] = xy
+    boxes[..., 2:] = xy + wh
+    scores = -np.sort(-rng.random((B, N)).astype(np.float32), axis=-1)
+    idx_a, v_a = pallas_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                            0.5, 30, interpret=True)
+    idx_b, v_b = pallas_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                            0.5, 30, interpret=True, presorted=True)
+    for b in range(B):
+        ka = sorted(np.asarray(idx_a[b])[np.asarray(v_a[b])].tolist())
+        kb = sorted(np.asarray(idx_b[b])[np.asarray(v_b[b])].tolist())
+        assert ka == kb

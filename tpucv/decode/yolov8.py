@@ -86,9 +86,11 @@ def decode_boxes(
 
     off = boxes + top_cls[..., None].astype(boxes.dtype) * 7680.0
     if jax.default_backend() == "tpu" and k <= 1024:
-        # VMEM-resident fixpoint kernel (exact greedy keep-set)
+        # VMEM-resident fixpoint kernel (exact greedy keep-set); top_k
+        # already returned scores descending, so skip the re-sort
         from tpucv.ops.pallas_nms import pallas_nms
-        idx, valid = pallas_nms(off, top_scores, iou_threshold, max_det)
+        idx, valid = pallas_nms(off, top_scores, iou_threshold, max_det,
+                                presorted=True)
     elif k <= 1024:
         idx, valid = jax.vmap(
             lambda b, s: nms_fixpoint(b, s, iou_threshold, max_det)

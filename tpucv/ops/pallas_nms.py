@@ -106,18 +106,30 @@ def pallas_nms(
     iou_threshold: float = 0.45,
     max_det: int = 300,
     interpret: bool = False,
+    presorted: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full NMS: sort, VMEM fixpoint kernel, top-max_det select.
 
+    ``presorted=True`` skips the argsort+gather when the caller's scores are
+    already descending (e.g. straight out of ``lax.top_k`` — the production
+    decode path), saving an HBM round-trip of the candidate set.
+
     Returns (indices (B, max_det) into the input order, valid (B, max_det)).
     """
-    order = jnp.argsort(-scores, axis=-1, stable=True)
-    b_idx = jnp.arange(boxes.shape[0])[:, None]
-    sb = boxes[b_idx, order]
-    ss = scores[b_idx, order]
+    if presorted:
+        order = None
+        sb, ss = boxes, scores
+    else:
+        order = jnp.argsort(-scores, axis=-1, stable=True)
+        b_idx = jnp.arange(boxes.shape[0])[:, None]
+        sb = boxes[b_idx, order]
+        ss = scores[b_idx, order]
     keep = pallas_nms_keep(sb, ss, iou_threshold, interpret=interpret)
     keep_scores = jnp.where(keep > 0.5, ss, -1e10)
     top_scores, top_pos = jax.lax.top_k(keep_scores, max_det)
     valid = top_scores > -1e9
-    idx = jnp.take_along_axis(order, top_pos, axis=-1)
+    if order is None:
+        idx = top_pos
+    else:
+        idx = jnp.take_along_axis(order, top_pos, axis=-1)
     return idx.astype(jnp.int32), valid
