@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 
 
+pytestmark = pytest.mark.slow  # heavy: full-model compiles
+
 def _shrink(cfg, name):
     cfg.dataset.input_size = 64
     cfg.dataset.max_num_boxes = 4

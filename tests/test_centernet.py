@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpucv.decode.centernet import decode_centernet
 from tpucv.losses.centernet import centernet_loss
@@ -10,6 +11,8 @@ from tpucv.models.centernet import CenterNet
 from tpucv.targets.centernet import (
     build_centernet_targets, gaussian_radius)
 
+
+pytestmark = pytest.mark.slow  # heavy: full-model compiles
 
 def test_gaussian_radius_reference_values():
     # radius should be positive and grow with box size

@@ -2,6 +2,7 @@
 plus EMA tracking in TrainState."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -10,6 +11,8 @@ import optax
 from tpucv.ckpt.checkpoint import CheckPoint
 from tpucv.train.state import TrainState, make_train_step
 
+
+pytestmark = pytest.mark.slow  # heavy: full-model compiles
 
 def _tiny_state():
     params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}

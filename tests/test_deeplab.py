@@ -3,11 +3,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpucv.losses.segmentation import cross_entropy_loss, focal_loss
 from tpucv.models.deeplabv3plus import DeeplabV3Plus
 from tpucv.models.resnet import resnet50
 
+
+pytestmark = pytest.mark.slow  # heavy: full-model compiles
 
 def test_resnet_feature_strides():
     model = resnet50(output_stride=16)

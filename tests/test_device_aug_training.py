@@ -3,7 +3,10 @@ device_aug on must run and keep boxes/masks consistent."""
 
 import jax
 import numpy as np
+import pytest
 
+
+pytestmark = pytest.mark.slow  # heavy: full-model compiles
 
 def test_train_step_with_device_aug(tmp_path):
     from tpucv.builder import export_from_registry

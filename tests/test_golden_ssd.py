@@ -9,9 +9,9 @@ import numpy as np
 import pytest
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(os.path.join(REF, "core")),
-    reason="reference checkout not available")
+    reason="reference checkout not available")]
 
 
 def test_golden_ssd_forward_parity():

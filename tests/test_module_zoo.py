@@ -16,6 +16,8 @@ from tpucv.ops.masks import crop_mask, process_mask
 X = jnp.zeros((1, 16, 16, 32))
 
 
+pytestmark = pytest.mark.slow  # heavy: full-model compiles
+
 @pytest.mark.parametrize("mod,out_ch", [
     (C1(24, 2), 24),
     (C2(24, 2), 24),

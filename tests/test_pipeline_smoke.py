@@ -8,6 +8,8 @@ import numpy as np
 import pytest
 
 
+pytestmark = pytest.mark.slow  # heavy: full-model compiles
+
 def _small_cfg():
     from tpucv.builder import export_from_registry
     cfg, algo_cls, trainer_cls = export_from_registry("yolo8_det")

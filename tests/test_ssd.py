@@ -20,6 +20,8 @@ PRIORS_300 = dict(
 )
 
 
+pytestmark = pytest.mark.slow  # heavy: full-model compiles
+
 def test_ssd300_forward_shapes():
     model = SSD(num_classes=21, input_size=300)
     x = jnp.zeros((1, 300, 300, 3))

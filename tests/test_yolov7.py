@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpucv.decode.yolov7 import decode_yolov7, raw_to_pred_yolo7
 from tpucv.losses.yolov7 import yolov7_loss
@@ -14,6 +15,8 @@ ANCHORS = np.array([
     [[142, 110], [192, 243], [459, 401]],
 ], np.float32)
 
+
+pytestmark = pytest.mark.slow  # heavy: full-model compiles
 
 def test_model_output_shapes():
     model = Yolo7(nc=20, phi="l")

@@ -16,6 +16,8 @@ REF_PARAMS = {"n": 3_157_200, "s": 11_166_560}
 # verified to match as well; excluded from the default run for CI speed.
 
 
+pytestmark = pytest.mark.slow  # heavy: full-model compiles
+
 def _param_count(tree):
     return sum(x.size for x in jax.tree_util.tree_leaves(tree))
 

@@ -61,20 +61,26 @@ def decode_boxes(
     anchor_points, stride_arr = make_anchors(feat_shapes, strides)
 
     B = raw_maps[0].shape[0]
-    flat = [m.reshape(B, -1, m.shape[-1]) for m in raw_maps]
-    x = jnp.concatenate(flat, axis=1)                       # (B, A, no) bf16
-    A = x.shape[1]
-    cls_scores = jax.nn.sigmoid(x[..., 4 * reg_max:])       # (B, A, nc)
-    best_score = jnp.max(cls_scores, axis=-1).astype(jnp.float32)
-    best_cls = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32)
-
-    # DFL expectation over ALL anchors in bf16 (cheaper on TPU than a big
-    # gather of the 64-bin logits for the top-k — measured 2x), then a small
-    # (B, K, 4) gather of the decoded boxes.
-    bd = x[..., : 4 * reg_max].reshape(B, A, 4, reg_max)
-    sm = jax.nn.softmax(bd, axis=-1)
-    proj = jnp.arange(reg_max, dtype=bd.dtype)
-    dist = jnp.einsum("bakr,r->bak", sm, proj).astype(jnp.float32)
+    # Per-level processing straight off the head's NHWC maps — no (B, A, no)
+    # concat materialisation (only the small per-anchor results concat):
+    #   * best class via max over LOGITS then one sigmoid — identical by
+    #     monotonicity, skips the (B, A, nc) sigmoid materialisation
+    #   * DFL expectation over ALL anchors in bf16 (cheaper on TPU than a
+    #     big gather of the 64-bin logits for the top-k — measured 3ms/batch
+    #     slower at B=128), then a small (B, K, 4) gather of decoded boxes
+    proj = jnp.arange(reg_max, dtype=raw_maps[0].dtype)
+    bests, bcls, dists = [], [], []
+    for m in raw_maps:
+        logits = m[..., 4 * reg_max:]                     # (B, H, W, nc)
+        bests.append(jax.nn.sigmoid(jnp.max(logits, -1)).reshape(B, -1))
+        bcls.append(jnp.argmax(logits, -1).reshape(B, -1))
+        bd = m[..., : 4 * reg_max].reshape(B, -1, 4, reg_max)
+        sm = jax.nn.softmax(bd, axis=-1)
+        dists.append(jnp.einsum("bakr,r->bak", sm, proj))
+    best_score = jnp.concatenate(bests, 1).astype(jnp.float32)  # (B, A)
+    best_cls = jnp.concatenate(bcls, 1).astype(jnp.int32)
+    dist = jnp.concatenate(dists, 1).astype(jnp.float32)        # (B, A, 4)
+    A = best_score.shape[1]
     all_boxes = dist2bbox(dist, anchor_points[None]) * stride_arr[None]
 
     gated = jnp.where(best_score > conf_threshold, best_score, 0.0)

@@ -45,9 +45,11 @@ def _nms_kernel(boxes_ref, scores_ref, keep_ref, overlap_scratch, sup_scratch,
 
     row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    # overlap[i, j]: higher-ranked j (col < row) suppresses i when surviving
+    # overlap[i, j]: higher-ranked j (col < row) suppresses i when surviving.
+    # Stored bf16 (exact for 0/1): halves VMEM traffic, and lets each sweep
+    # ride the MXU as a matvec instead of a VPU broadcast+max over N^2.
     overlap_scratch[:] = jnp.where(
-        (col < row) & (iou > iou_threshold), 1.0, 0.0)
+        (col < row) & (iou > iou_threshold), 1.0, 0.0).astype(jnp.bfloat16)
 
     invalid = jnp.where(scores <= 0.0, 1.0, 0.0)               # (N, 1) f32
     sup_scratch[:] = invalid
@@ -62,7 +64,11 @@ def _nms_kernel(boxes_ref, scores_ref, keep_ref, overlap_scratch, sup_scratch,
         # the loop runs to FIXPOINT (scalar `changed` carry), so arbitrarily
         # deep suppression chains are exact — max_iters is only a backstop
         active = (1.0 - sup_scratch[:]) * (1.0 - invalid)      # (N, 1)
-        hit = jnp.max(overlap_scratch[:] * active.T, axis=1, keepdims=True)
+        # hit[i] = #{active j that suppress i}; f32 accumulate is exact
+        hit = jax.lax.dot_general(
+            overlap_scratch[:], active.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (N, 1)
         new_sup = jnp.maximum(jnp.where(hit > 0.0, 1.0, 0.0), invalid)
         changed = jnp.sum(jnp.abs(new_sup - sup_scratch[:])) > 0.0
         sup_scratch[:] = new_sup
@@ -92,7 +98,7 @@ def pallas_nms_keep(
         ],
         out_specs=pl.BlockSpec((1, N, 1), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((N, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((N, N), jnp.bfloat16),
                         pltpu.VMEM((N, 1), jnp.float32)],
         interpret=interpret,
     )(boxes_sorted.astype(jnp.float32), scores_sorted[..., None].astype(
