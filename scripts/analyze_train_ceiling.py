@@ -1,20 +1,20 @@
 """Analytic MXU-utilization ceiling for YOLOv8n training on TPU v5e.
 
-Walks every conv in the model (via flax tabulate), computes FLOPs and a
-first-order MXU efficiency model for the implicit GEMM each conv lowers to
-(M = B*H*W, K = kh*kw*Cin, N = Cout on a 128x128 systolic array):
+Records every conv in the model (by intercepting flax ``nn.Conv`` during an
+abstract trace at 640^2), computes FLOPs and a first-order MXU efficiency
+model for the implicit GEMM each conv lowers to (M = B*H*W, K = kh*kw*Cin,
+N = Cout on a 128x128 systolic array):
 
-    eff = min(N, 128)/128 * min(K, 128)/128-ceil * HBM correction (ignored)
+    eff = min(N, 128)/128 * K / (128 * ceil(K/128))
 
-i.e. output channels < 128 leave MXU lanes idle; K < 128 leaves rows idle.
-Prints the FLOP-weighted achievable fraction of peak -- the number that
-explains why a 3.2M-param net with 16-256 channel widths cannot reach
-the 197 TFLOP/s bf16 peak regardless of software.
+i.e. output channels < 128 leave MXU lanes idle; K not a multiple of 128
+pads rows. Prints the FLOP-weighted achievable fraction of peak — the
+number that explains why a 3.2M-param net with 16-256 channel widths cannot
+reach the 197 TFLOP/s bf16 peak regardless of software.
 
 Usage: JAX_PLATFORMS=cpu python scripts/analyze_train_ceiling.py
 """
 
-import re
 import sys
 
 sys.path.insert(0, ".")
@@ -31,49 +31,35 @@ def main():
     from tpucv.models import get_yolo8_n
 
     model = get_yolo8_n(dtype=jnp.bfloat16)
+    records = []
+    orig = nn.Conv.__call__
+
+    def patched(self, x):
+        y = orig(self, x)
+        ks = self.kernel_size
+        k = ks[0] if isinstance(ks, (tuple, list)) else ks
+        records.append((x.shape, k, self.features, y.shape,
+                        getattr(self, "feature_group_count", 1)))
+        return y
+
+    nn.Conv.__call__ = patched
+    try:
+        jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                       jnp.zeros((1, 640, 640, 3), jnp.bfloat16))
+    finally:
+        nn.Conv.__call__ = orig
+
     rows = []
-
-    # capture conv shapes via the tabulate machinery
-    table = nn.tabulate(
-        model, jax.random.PRNGKey(0),
-        compute_flops=False, compute_vjp_flops=False,
-    )(jnp.zeros((1, 640, 640, 3), jnp.bfloat16))
-
-    # parse "Conv" rows: inputs (1,H,W,Cin), kernel (kh,kw,Cin,Cout)
-    for line in table.splitlines():
-        if "| Conv" not in line and "ConvT" not in line:
-            continue
-        shapes = re.findall(r"\(([\d, ]+)\)", line)
-        if len(shapes) < 2:
-            continue
-        try:
-            inp = [int(x) for x in shapes[0].split(",") if x.strip()]
-            ker = None
-            for s in shapes[1:]:
-                v = [int(x) for x in s.split(",") if x.strip()]
-                if len(v) == 4 and v[2] == inp[-1]:
-                    ker = v
-                    break
-            if ker is None or len(inp) != 4:
-                continue
-        except ValueError:
-            continue
-        _, h, w, cin = inp
-        kh, kw, _, cout = ker
-        # stride: out spatial = last output shape in the row
-        out = [int(x) for x in shapes[-1].split(",") if x.strip()]
-        oh, ow = (out[1], out[2]) if len(out) == 4 else (h, w)
-        flops = 2 * kh * kw * cin * cout * oh * ow       # per image
-        K, N = kh * kw * cin, cout
-        eff = min(N, MXU) / MXU * min(K, MXU) / MXU if K < MXU else \
-            min(N, MXU) / MXU * (K / (MXU * -(-K // MXU)))
-        rows.append((f"{kh}x{kw} {cin:4d}->{cout:4d} @{oh}x{ow}",
-                     flops, eff))
+    for (b, h, w, cin), k, cout, (ob, oh, ow, oc), groups in records:
+        cin_g = cin // groups
+        flops = 2 * k * k * cin_g * cout * oh * ow     # per image
+        K, N = k * k * cin_g, cout // groups
+        eff = (min(N, MXU) / MXU) * (K / (MXU * -(-K // MXU)))
+        rows.append((f"{k}x{k} {cin:4d}->{cout:4d} @{oh}x{ow}", flops,
+                     min(eff, 1.0)))
 
     total = sum(f for _, f, _ in rows)
-    # time at peak*eff per layer; ceiling = total / sum(time)
-    t_sum = sum(f / (PEAK_TFLOPS * e) for _, f, e in rows)
-    ceiling = total / t_sum / 1e12 * 1e12  # TFLOP/s aggregate
+    eff_hmean = total / sum(f / e for _, f, e in rows)
 
     agg = {}
     for name, f, e in rows:
@@ -81,15 +67,17 @@ def main():
         a = agg.setdefault(key, [0, e, 0])
         a[0] += f
         a[2] += 1
-    print(f"{'conv shape':28s} {'GFLOP/img':>10s} {'%FLOPs':>7s} "
+    print(f"{'conv shape':22s} {'GFLOP/img':>10s} {'%FLOPs':>7s} "
           f"{'MXU eff':>8s} {'n':>3s}")
-    for key, (f, e, n) in sorted(agg.items(), key=lambda kv: -kv[1][0]):
-        print(f"{key:28s} {f/1e9:10.3f} {100*f/total:6.1f}% {e:7.1%} {n:3d}")
-    print(f"\ntotal fwd: {total/1e9:.2f} GFLOP/img "
-          f"(reference claims 8.9 incl. non-conv)")
-    print(f"FLOP-weighted MXU ceiling: {total / t_sum / 1e12:.0f} TFLOP/s "
-          f"of {PEAK_TFLOPS:.0f} peak "
-          f"({total / t_sum / 1e12 / PEAK_TFLOPS:.0%})")
+    for key, (f, e, n) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:14]:
+        print(f"{key:22s} {f/1e9:10.3f} {100*f/total:6.1f}% {e:7.1%} {n:3d}")
+    ceil = PEAK_TFLOPS * eff_hmean
+    print(f"\ntotal fwd conv: {total/1e9:.2f} GFLOP/img "
+          f"(reference claims 8.9 GFLOPs incl. non-conv)")
+    print(f"FLOP-weighted MXU ceiling: {ceil:.0f} TFLOP/s of "
+          f"{PEAK_TFLOPS:.0f} peak ({eff_hmean:.0%})")
+    print(f"=> best-case fwd {128 * total/(ceil*1e12)*1e3:.1f} ms per "
+          f"128-image batch; backward ~2x that.")
 
 
 if __name__ == "__main__":
