@@ -90,3 +90,39 @@ def test_exponential_warmup_matches_reference_formula():
     # untuned periods follow the Adam rule (warm_up.py:123-159)
     assert untuned_linear_warmup_period(0.999) == 2000
     assert abs(untuned_exponential_warmup_tau(0.999) - 1000.0) < 1e-9
+
+
+def test_spatial_partitioning_matches_replicated():
+    """Height-sharded (B, H, W, C) conv forward + grads == replicated:
+    the SPMD partitioner must insert correct halo exchanges for stride-2
+    convs and pooling under spatial partitioning."""
+    from flax import linen as nn
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(8, (3, 3), strides=2, padding="SAME")(x)
+            x = nn.relu(x)
+            x = nn.Conv(16, (3, 3), strides=2, padding="SAME")(x)
+            x = nn.avg_pool(x, (2, 2), (2, 2))
+            return nn.Conv(16, (3, 3), padding="SAME")(x)
+
+    model = Net()
+    x = np.random.default_rng(0).normal(size=(4, 32, 32, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(v, xx):
+        return jnp.sum(model.apply(v, xx) ** 2)
+
+    g = jax.jit(jax.value_and_grad(loss))
+
+    mesh = pmesh.create_mesh(2, 4)
+    with mesh:
+        xs = jax.device_put(x, pmesh.spatial_batch_sharding(mesh))
+        vs = jax.device_put(variables, pmesh.replicated(mesh))
+        l_sp, g_sp = jax.device_get(g(vs, xs))
+    l_re, g_re = jax.device_get(g(variables, x))
+    assert abs(l_sp - l_re) / abs(l_re) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(g_sp),
+                    jax.tree_util.tree_leaves(g_re)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)

@@ -41,6 +41,15 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, W, C) images: batch over ``data`` AND height over ``model`` —
+    XLA spatial partitioning. Convolution halo exchanges become
+    collective-permutes on ICI inserted by the SPMD partitioner; use when a
+    single image's activations exceed one chip's HBM (large inputs /
+    segmentation) instead of shrinking the batch."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
