@@ -9,9 +9,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpucv.ops.nms import batched_non_max_suppression_multilabel
-
-
 def raw_to_pred_yolo7(
     raw_maps: Sequence[jax.Array],
     anchors: np.ndarray,           # (nl, na, 2) pixel units
@@ -51,6 +48,15 @@ def decode_yolov7(
     max_det: int = 100,
     pre_nms_topk: int = 1024,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Single-label per-class NMS, matching the reference protocol
+    (``yolo_v7.py:368-410``): each anchor contributes only its argmax class
+    with score obj * class_conf — NOT one candidate per class above
+    threshold (that multilabel variant is ``non_max_suppression_multilabel``,
+    which the reference uses for SSD but not YOLOv7)."""
+    from tpucv.ops.boxes import xyxy2xywh
+    from tpucv.ops.nms import batched_single_label_nms
+
     boxes, scores = raw_to_pred_yolo7(raw_maps, anchors, strides, nc)
-    return batched_non_max_suppression_multilabel(
-        boxes, scores, conf_threshold, iou_threshold, max_det, pre_nms_topk)
+    pred = jnp.concatenate([xyxy2xywh(boxes), scores], axis=-1)
+    return batched_single_label_nms(
+        pred, conf_threshold, iou_threshold, max_det, pre_nms_topk)
