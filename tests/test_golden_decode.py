@@ -188,3 +188,43 @@ def test_golden_yolov7_decode():
     got = _as_set(jb[jv], js[jv], jc[jv])
     want = _as_set(res[:, :4], res[:, 4] * res[:, 5], res[:, 6])
     assert got == want and len(want) > 0
+
+
+def test_golden_yolov3_decode():
+    """Legacy YOLOv3 path: reference core/predict/yolov3_decode.py Decoder
+    (normalised sigmoid-xy/exp-wh grid decode + per-class multilabel NMS,
+    yolo3_nms) vs tpucv decode_yolov3 on identical raw maps."""
+    import torch
+    from configs.yolov3_cfg import Config as Yolo3RefCfg
+    from core.predict.yolov3_decode import Decoder
+
+    import jax.numpy as jnp
+    from tpucv.configs.model_cfgs import YOLO3_ANCHORS
+    from tpucv.decode.yolov3 import decode_yolov3
+
+    cfg = Yolo3RefCfg()
+    nc = cfg.arch.num_classes
+    S = cfg.arch.input_size[1]            # 416
+    strides = (32, 16, 8)
+    rng = np.random.default_rng(3)
+    raw_nhwc = [rng.standard_normal(
+        (1, S // s, S // s, 3 * (5 + nc))).astype(np.float32) * 1.5
+        for s in strides]
+    raw_torch = [torch.from_numpy(
+        m.transpose(0, 3, 1, 2).copy()) for m in raw_nhwc]
+
+    dec = Decoder(cfg, conf_threshold=0.93, device=torch.device("cpu"))
+    rb, rs, rc = dec(raw_torch)
+    rb = np.asarray(rb) * S               # reference boxes are normalised
+
+    anchors = np.asarray(YOLO3_ANCHORS, np.float32)
+    jb, js, jc, jv = decode_yolov3(
+        [jnp.asarray(m) for m in raw_nhwc], anchors,
+        ((6, 7, 8), (3, 4, 5), (0, 1, 2)), strides, nc,
+        conf_threshold=0.93, iou_threshold=cfg.decode.iou_threshold,
+        max_det=400, pre_nms_topk=4096)
+    jb, js, jc, jv = (np.asarray(v)[0] for v in (jb, js, jc, jv))
+
+    got = _as_set(jb[jv], js[jv], jc[jv])
+    want = _as_set(rb, np.asarray(rs), np.asarray(rc))
+    assert got == want and len(want) > 0
