@@ -22,8 +22,9 @@ def build_detection_indices(cfg, logger=None):
         from tpucv.data.voc import VOCDetectionIndex
         return (VOCDetectionIndex(root, "train"),
                 VOCDetectionIndex(root, "val"))
-    if cfg.dataset.name == "coco" and os.path.isfile(
-            os.path.join(root, "annotations/instances_val2017.json")):
+    if cfg.dataset.name == "coco" and all(os.path.isfile(
+            os.path.join(root, f"annotations/instances_{s}2017.json"))
+            for s in ("train", "val")):
         from tpucv.data.coco import COCOIndex
         return (
             COCOIndex(os.path.join(root, "annotations/instances_train2017.json"),
