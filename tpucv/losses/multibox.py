@@ -40,8 +40,11 @@ def multibox_loss(
 
     # per-prior CE on clamped softmax probs (reference _softmax_loss :103-106)
     probs = jnp.clip(jax.nn.softmax(conf_pred, axis=-1), 1e-7)
-    ce = -jnp.take_along_axis(
-        jnp.log(probs), cls_true[..., None], axis=-1)[..., 0]   # (B, A)
+    # one-hot reduction instead of a cross-lane take_along_axis pick
+    # (serial-ish on TPU); exact: one 1.0 per row
+    nc = conf_pred.shape[-1]
+    ce = -(jnp.log(probs)
+           * jax.nn.one_hot(cls_true, nc, dtype=probs.dtype)).sum(-1)  # (B, A)
 
     # localisation smooth-L1 on positives (reference :96-101,131-137)
     l1 = smooth_l1(loc_pred - loc_true).sum(-1)                 # (B, A)

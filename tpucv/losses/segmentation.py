@@ -15,7 +15,10 @@ def _valid_ce(logits: jax.Array, labels: jax.Array, num_classes: int,
     valid = (labels != ignore_index) & (labels >= 0) & (labels < num_classes)
     safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    ce = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    # one-hot reduction instead of a cross-lane take_along_axis pick
+    # (serial-ish on TPU); exact: one 1.0 per pixel row
+    ce = -(logp * jax.nn.one_hot(safe, num_classes,
+                                 dtype=logp.dtype)).sum(-1)
     return ce, valid, logp, safe
 
 

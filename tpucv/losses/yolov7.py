@@ -71,13 +71,18 @@ def yolov7_loss(
         feat_shapes, strides, anchors)
     A = cx.shape[0]
 
-    # flatten predictions (B, A, 5+nc)
+    # flatten predictions (B, A, 5+nc). On TPU the wide logit tensor stays
+    # bf16 (matching the raw maps) and reductions accumulate f32; box
+    # geometry is f32 throughout — bf16 coords at pixel scale would poison
+    # the CIoU gradient. CPU keeps f32 end-to-end so the golden value tests
+    # against the torch reference stay exact (same recipe as yolov8.py).
+    cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     preds = jnp.concatenate(
         [m.reshape(B, -1, na, 5 + nc).reshape(B, -1, 5 + nc)
-         for m in raw_maps], axis=1).astype(jnp.float32)
+         for m in raw_maps], axis=1).astype(cdt)
 
     # decoded boxes for every anchor (needed at matched positions)
-    sig = jax.nn.sigmoid(preds[..., :4])
+    sig = jax.nn.sigmoid(preds[..., :4].astype(jnp.float32))
     px = (sig[..., 0] * 2.0 - 0.5 + cx[None]) * st[None]
     py = (sig[..., 1] * 2.0 - 0.5 + cy[None]) * st[None]
     pw = (sig[..., 2] * 2.0) ** 2 * aw[None]
@@ -129,8 +134,8 @@ def yolov7_loss(
     cand_preds = jnp.take_along_axis(
         preds, cand_flat.reshape(B, M * K, 1).repeat(5 + nc, -1),
         axis=1).reshape(B, M, K, 5 + nc)
-    p_obj = jax.nn.sigmoid(cand_preds[..., 4:5])
-    p_cls = jax.nn.sigmoid(cand_preds[..., 5:]) * p_obj
+    p_obj = jax.nn.sigmoid(cand_preds[..., 4:5].astype(jnp.float32))
+    p_cls = jax.nn.sigmoid(cand_preds[..., 5:].astype(jnp.float32)) * p_obj
     onehot = jax.nn.one_hot(jnp.clip(gt_labels, 0, nc - 1), nc)
     y = jnp.sqrt(jnp.clip(p_cls, 1e-8, 1.0))
     bce = -(onehot[:, :, None, :] * jnp.log(y)
@@ -166,9 +171,14 @@ def yolov7_loss(
         jnp.broadcast_to(jnp.arange(M)[None, :, None],
                          (B, M, K)).reshape(B, M * K), mode="drop")
 
-    tgt_boxes = jnp.take_along_axis(
-        gt_bboxes, gt_for_anchor[..., None].repeat(4, -1), axis=1)
-    tgt_labels = jnp.take_along_axis(gt_labels, gt_for_anchor, axis=1)
+    # one-hot contraction instead of a (B, A) gather from the M-row GT
+    # table: the gather lowers to a serial op on TPU (measured 44 ms at
+    # B=32/A=25k); the MXU selection matmul does it in 2 ms and is exact in
+    # f32 (each output row is one product with 1.0 plus zeros)
+    oh = jax.nn.one_hot(gt_for_anchor, M, dtype=jnp.float32)  # (B, A, M)
+    tgt_boxes = jnp.einsum("bam,bmc->bac", oh, gt_bboxes.astype(jnp.float32))
+    tgt_labels = jnp.einsum(
+        "bam,bm->ba", oh, gt_labels.astype(jnp.float32)).astype(jnp.int32)
 
     # ---------------- losses ----------------------------------------------
     # Box and cls are *per-layer means summed over layers*, exactly like the
@@ -181,11 +191,13 @@ def yolov7_loss(
     obj_target = jnp.where(matched, jax.lax.stop_gradient(
         jnp.clip(ciou, 0.0, 1.0)), 0.0)
     obj_logits = preds[..., 4]
-    obj_bce = _bce_logits(obj_logits, obj_target)
+    obj_bce = _bce_logits(obj_logits, obj_target.astype(cdt))
 
     cls_logits = preds[..., 5:]
-    cls_target = jax.nn.one_hot(tgt_labels, nc) * matched[..., None]
-    cls_bce = _bce_logits(cls_logits, cls_target).sum(-1)     # (B, A)
+    cls_target = (jax.nn.one_hot(tgt_labels, nc, dtype=cdt)
+                  * matched[..., None])
+    cls_bce = _bce_logits(cls_logits, cls_target).sum(
+        -1, dtype=jnp.float32)                                # (B, A)
 
     loss_box = 0.0
     loss_obj = 0.0
@@ -199,8 +211,8 @@ def yolov7_loss(
         # reference BCEcls reduction='mean' over (n_l, nc) elements
         loss_cls = loss_cls + jnp.where(m_l, cls_bce, 0.0).sum() / (denom * nc)
         # obj: mean over every anchor of the layer, weighted by balance
-        layer_obj = jnp.where(sel, obj_bce, 0.0).sum() / jnp.maximum(
-            sel.sum() * B, 1)
+        layer_obj = jnp.where(sel, obj_bce, 0.0).sum(
+            dtype=jnp.float32) / jnp.maximum(sel.sum() * B, 1)
         loss_obj = loss_obj + layer_balance[l] * layer_obj
 
     # the reference returns the gain-weighted sum WITHOUT a batch-size
