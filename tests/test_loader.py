@@ -87,3 +87,14 @@ def test_worker_death_raises():
     ld = Loader(Bomb(), batch_size=4, shuffle=False, num_workers=1)
     with pytest.raises(RuntimeError, match="died"):
         _collect(ld)
+
+
+def test_mp_ragged_final_batch():
+    """drop_last=False with len(ds) % batch != 0: the mp path must deliver
+    the short final batch instead of crashing the worker."""
+    ds = SyntheticDetectionDataset(num_samples=10, image_size=64, seed=0)
+    kw = dict(batch_size=4, shuffle=False, drop_last=False)
+    ref = _collect(Loader(ds, **kw))
+    got = _collect(Loader(ds, num_workers=2, **kw))
+    assert [b["images"].shape[0] for b in got] == [4, 4, 2]
+    _assert_batches_equal(ref, got)

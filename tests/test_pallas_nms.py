@@ -2,9 +2,10 @@
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
-from tpucv.ops.nms import nms
+from tpucv.ops.nms import nms, nms_fixpoint
 from tpucv.ops.pallas_nms import pallas_nms
 
 
@@ -84,3 +85,23 @@ def test_presorted_matches_unsorted_path():
         ka = sorted(np.asarray(idx_a[b])[np.asarray(v_a[b])].tolist())
         kb = sorted(np.asarray(idx_b[b])[np.asarray(v_b[b])].tolist())
         assert ka == kb
+
+
+def test_chain_deeper_than_old_64_sweep_cap():
+    """120-deep suppression chain: the sweep bound now defaults to N, so
+    chains deeper than the old 64-iteration cap resolve exactly."""
+    n_chain, N = 120, 128
+    boxes = np.zeros((1, N, 4), np.float32)
+    scores = np.zeros((1, N), np.float32)
+    for i in range(n_chain):
+        boxes[0, i] = [i * 2.0, 0, i * 2.0 + 10.0, 10.0]
+        scores[0, i] = 1.0 - i * 0.005
+    idx_p, v_p = pallas_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                            0.5, N, interpret=True)
+    keep_p = sorted(np.asarray(idx_p[0])[np.asarray(v_p[0])].tolist())
+    assert keep_p == list(range(0, n_chain, 2))
+    idx_f, v_f = jax.vmap(
+        lambda b, s: nms_fixpoint(b, s, 0.5, N))(
+        jnp.asarray(boxes), jnp.asarray(scores))
+    keep_f = sorted(np.asarray(idx_f[0])[np.asarray(v_f[0])].tolist())
+    assert keep_f == keep_p

@@ -90,8 +90,14 @@ class DetectionAlgorithm:
                 "image": img, "saved": out_path}
 
     # raw-image canvas edge for the device-side letterbox path; COCO and
-    # VOC images never exceed 640 on a side
+    # VOC images never exceed 640 on a side. Models with a larger input
+    # size get a matching canvas so eval never bottlenecks detail through
+    # an intermediate 640 downscale.
     RAW_CANVAS = 640
+
+    @property
+    def raw_canvas(self) -> int:
+        return max(self.RAW_CANVAS, self.input_size)
 
     def _batched_detections(self, variables, index, batch_size: int,
                             conf_threshold: float):
@@ -105,7 +111,7 @@ class DetectionAlgorithm:
 
         infer = self.make_infer_fn(conf_threshold=conf_threshold)
         s = self.input_size
-        C = self.RAW_CANVAS
+        C = self.raw_canvas
 
         @jax.jit
         def letterbox_and_infer(variables, canvases, hw):
@@ -122,26 +128,30 @@ class DetectionAlgorithm:
             for j, i in enumerate(idxs):
                 path, _, _ = index[i]
                 img = read_image(path) if isinstance(path, str) else path
-                pre = 1.0
-                if img.shape[0] > C or img.shape[1] > C:
+                oh, ow = img.shape[:2]           # exact original, pre-resize
+                if oh > C or ow > C:
                     # rare: pre-shrink on host so the raw fits the canvas
                     import cv2
-                    pre = C / max(img.shape[:2])
+                    pre = C / max(oh, ow)
                     img = cv2.resize(
-                        img, (int(img.shape[1] * pre), int(img.shape[0] * pre)),
+                        img, (int(ow * pre), int(oh * pre)),
                         interpolation=cv2.INTER_AREA)
                 h, w = img.shape[:2]
                 canvases[j, :h, :w] = img
                 hw[j] = (h, w)
-                oshapes.append((int(round(h / pre)), int(round(w / pre))))
-                prescales.append(pre)
+                oshapes.append((oh, ow))
+                # per-axis EFFECTIVE pre-shrink ratio (int truncation makes
+                # the two axes differ slightly)
+                prescales.append((w / ow, h / oh))
             boxes_b, scores_b, classes_b, valid_b, scale_b, pad_b = \
                 jax.device_get(letterbox_and_infer(
                     variables, jnp.asarray(canvases), jnp.asarray(hw)))
             for j, i in enumerate(idxs):
                 v = valid_b[j]
+                pre_x, pre_y = prescales[j]
                 boxes = reverse_letter_box(
-                    boxes_b[j][v], float(scale_b[j]) * prescales[j],
+                    boxes_b[j][v],
+                    (float(scale_b[j]) * pre_x, float(scale_b[j]) * pre_y),
                     tuple(pad_b[j]), oshapes[j])
                 yield i, boxes, scores_b[j][v], classes_b[j][v]
 

@@ -120,9 +120,8 @@ def load_pretrained(variables: dict, path: str,
     else:
         with open(path, "rb") as f:
             restored = ser.msgpack_restore(f.read())
-        if "params" not in restored:  # full TrainState bundle
-            restored = {"params": restored.get("params", {}),
-                        "batch_stats": restored.get("batch_stats", {})}
+        if "params" not in restored:  # bare params pytree (no wrapper dict)
+            restored = {"params": restored, "batch_stats": {}}
         loaded = restored
 
     out = {

@@ -74,9 +74,13 @@ class _ShmSlot:
             for k, (shape, dtype) in self.spec.items()
         }
 
-    def write(self, batch: Dict[str, np.ndarray]):
+    def write(self, batch: Dict[str, np.ndarray]) -> int:
+        """Write up to the slot capacity; returns the row count (the final
+        batch of a drop_last=False epoch can be ragged)."""
+        n = next(iter(batch.values())).shape[0]
         for k, v in self.views().items():
-            v[...] = batch[k]
+            v[:n] = batch[k]
+        return n
 
     def close(self, unlink: bool = False):
         self.shm.close()
@@ -102,8 +106,8 @@ def _mp_worker(ds, order, bs, wid, nw, n_batches, slot_names, spec,
                     continue
             _reseed(ds, seed, epoch, b)
             idxs = order[b * bs:(b + 1) * bs]
-            slots[s].write(collate([ds[int(i)] for i in idxs]))
-            res_q.put((b, s))
+            n = slots[s].write(collate([ds[int(i)] for i in idxs]))
+            res_q.put((b, s, n))
     finally:
         for s in slots:
             s.close()
@@ -231,7 +235,7 @@ class Loader:
                 w = b % nw
                 while True:
                     try:
-                        bb, s = res_qs[w].get(timeout=5.0)
+                        bb, s, n = res_qs[w].get(timeout=5.0)
                         break
                     except queue.Empty:
                         if not procs[w].is_alive():
@@ -241,7 +245,7 @@ class Loader:
                 assert bb == b, f"out-of-order batch {bb} != {b}"
                 if held is not None:
                     free_qs[held[0]].put(held[1])
-                views = slots[w][s].views()
+                views = {k: v[:n] for k, v in slots[w][s].views().items()}
                 if self.copy_batches:
                     yield {k: v.copy() for k, v in views.items()}
                     free_qs[w].put(s)

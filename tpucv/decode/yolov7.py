@@ -53,10 +53,10 @@ def decode_yolov7(
     with score obj * class_conf — NOT one candidate per class above
     threshold (that multilabel variant is ``non_max_suppression_multilabel``,
     which the reference uses for SSD but not YOLOv7)."""
-    from tpucv.ops.boxes import xyxy2xywh
     from tpucv.ops.nms import batched_single_label_nms
 
     boxes, scores = raw_to_pred_yolo7(raw_maps, anchors, strides, nc)
-    pred = jnp.concatenate([xyxy2xywh(boxes), scores], axis=-1)
+    pred = jnp.concatenate([boxes, scores], axis=-1)
     return batched_single_label_nms(
-        pred, conf_threshold, iou_threshold, max_det, pre_nms_topk)
+        pred, conf_threshold, iou_threshold, max_det, pre_nms_topk,
+        xywh=False)

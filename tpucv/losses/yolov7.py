@@ -186,7 +186,6 @@ def yolov7_loss(
     # `cls_loss += BCEcls(...)` inside the per-layer loop) — NOT a global
     # mean over all matches.
     ciou = bbox_iou(pred_boxes, tgt_boxes, xywh=False, ciou=True)
-    n_match = jnp.maximum(matched.sum(), 1.0)
 
     obj_target = jnp.where(matched, jax.lax.stop_gradient(
         jnp.clip(ciou, 0.0, 1.0)), 0.0)

@@ -22,7 +22,11 @@ _LIBS: dict = {}
 def _build(name: str) -> str | None:
     src = os.path.join(_DIR, f"{name}.cpp")
     lib = os.path.join(_DIR, f"lib{name}.so")
-    if os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(src):
+    try:
+        if os.path.exists(lib) and \
+                os.path.getmtime(lib) >= os.path.getmtime(src):
+            return lib
+    except OSError:            # .so shipped without its source: use as-is
         return lib
     try:
         subprocess.run(

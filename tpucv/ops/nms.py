@@ -17,7 +17,7 @@ Everything vmaps over the batch dimension and runs entirely on-device.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -82,7 +82,7 @@ def nms_fixpoint(
     scores: jax.Array,
     iou_threshold: float = 0.45,
     max_det: int = 300,
-    max_iters: int = 64,
+    max_iters: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact greedy NMS via suppression-wave fixpoint — the TPU-shaped
     formulation.
@@ -97,6 +97,11 @@ def nms_fixpoint(
     Returns (indices into the input (max_det,), valid (max_det,)).
     """
     n = boxes.shape[0]
+    if max_iters is None:
+        # a suppression chain can be at most n-1 deep, so n sweeps always
+        # reach the true fixpoint; the `changed` flag exits far earlier on
+        # realistic sets (<10 sweeps)
+        max_iters = n
     order = jnp.argsort(-scores, stable=True)
     b = boxes[order]
     s = scores[order]
@@ -202,13 +207,14 @@ batched_non_max_suppression = jax.vmap(
 
 
 def batched_single_label_nms(
-    pred: jax.Array,              # (B, A, 4+nc) xywh px + class scores
+    pred: jax.Array,              # (B, A, 4+nc) boxes px + class scores
     conf_threshold: float = 0.25,
     iou_threshold: float = 0.7,
     max_det: int = 300,
     pre_nms_topk: int = 1024,
     class_agnostic: bool = False,
     use_pallas: bool | None = None,
+    xywh: bool = True,            # False: pred boxes are already xyxy
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Batched best-class NMS with a Pallas VMEM kernel on TPU and the XLA
     fixpoint elsewhere. Same semantics as ``non_max_suppression`` vmapped."""
@@ -219,7 +225,6 @@ def batched_single_label_nms(
     if pre_nms_topk > 1024:
         use_pallas = False
     B, A, _ = pred.shape
-    boxes_xywh = pred[:, :, :4]
     cls_scores = pred[:, :, 4:]
     best_cls = jnp.argmax(cls_scores, axis=-1)
     best_score = jnp.max(cls_scores, axis=-1)
@@ -227,7 +232,9 @@ def batched_single_label_nms(
     k = min(pre_nms_topk, A)
     top_scores, top_idx = jax.lax.top_k(gated, k)          # (B, K)
     bi = jnp.arange(B)[:, None]
-    top_boxes = xywh2xyxy(boxes_xywh[bi, top_idx])
+    top_boxes = pred[:, :, :4][bi, top_idx]
+    if xywh:
+        top_boxes = xywh2xyxy(top_boxes)
     top_cls = best_cls[bi, top_idx].astype(jnp.int32)
     if class_agnostic:
         off_boxes = top_boxes
@@ -237,10 +244,18 @@ def batched_single_label_nms(
 
     if use_pallas:
         from tpucv.ops.pallas_nms import pallas_nms
-        idx, valid = pallas_nms(off_boxes, top_scores, iou_threshold, max_det)
-    else:
+        idx, valid = pallas_nms(off_boxes, top_scores, iou_threshold, max_det,
+                                presorted=True)
+    elif k <= 1024:
         idx, valid = jax.vmap(
             lambda b, s: nms_fixpoint(b, s, iou_threshold, max_det)
+        )(off_boxes, top_scores)
+    else:
+        # candidate floods (eval conf=0.001): the O(k^2) overlap matrix of
+        # the fixpoint would be ~67 MB/image at k=4096, so use the
+        # O(max_det*k) sequential-scan greedy NMS (exact, memory-light)
+        idx, valid = jax.vmap(
+            lambda b, s: nms(b, s, iou_threshold, max_det)
         )(off_boxes, top_scores)
 
     out_boxes = jnp.take_along_axis(

@@ -8,10 +8,10 @@ fixpoint entirely on-chip, and writes the final keep mask. For N = 1024 the
 f32 matrix is 4 MB — VMEM-resident.
 
 Exactness: identical keep-set to sequential greedy NMS — the suppression
-wave runs to FIXPOINT (a while_loop on a scalar `changed` flag), so deep
-chains are exact; max_iters (default 64) is only a divergence backstop.
-Realistic detection sets settle in <8 sweeps, so the loop costs the same
-as the old bounded version.
+wave runs to FIXPOINT (a while_loop on a scalar `changed` flag) with the
+sweep bound defaulting to N (a chain can be at most N-1 deep, so the
+result is exact at ANY depth). Realistic detection sets settle in <8
+sweeps, so the loop costs the same as a bounded version.
 """
 
 from __future__ import annotations
@@ -82,11 +82,15 @@ def pallas_nms_keep(
     boxes_sorted: jax.Array,      # (B, N, 4) f32, sorted by score desc
     scores_sorted: jax.Array,     # (B, N) f32 (<=0 marks invalid)
     iou_threshold: float = 0.45,
-    max_iters: int = 64,
+    max_iters: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Returns keep mask (B, N) float (1.0 = kept)."""
     B, N, _ = boxes_sorted.shape
+    if max_iters is None:
+        # a suppression chain is at most N-1 deep, so N sweeps always reach
+        # the exact greedy fixpoint; `changed` exits far earlier in practice
+        max_iters = N
     kernel = functools.partial(
         _nms_kernel, iou_threshold=iou_threshold, max_iters=max_iters)
     out = pl.pallas_call(

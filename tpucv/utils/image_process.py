@@ -37,8 +37,11 @@ def letter_box(
     h, w = image.shape[:2]
     H, W = size
     scale = min(W / w, H / h)
-    nw, nh = int(round(w * scale)), int(round(h * scale))
-    resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    # INTER_NEAREST + int() truncation: exactly the reference
+    # (image_process.py:57-59) and the on-device letterbox_images — train,
+    # predict, and eval all see the same resampling
+    nw, nh = int(w * scale), int(h * scale)
+    resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_NEAREST)
     canvas = np.full((H, W, 3), fill, dtype=image.dtype)
     px, py = (W - nw) // 2, (H - nh) // 2
     canvas[py:py + nh, px:px + nw] = resized
@@ -46,15 +49,18 @@ def letter_box(
 
 
 def reverse_letter_box(
-    boxes: np.ndarray, scale: float, pad: Tuple[int, int],
+    boxes: np.ndarray, scale, pad: Tuple[int, int],
     orig_shape: Tuple[int, int],
 ) -> np.ndarray:
     """Map xyxy boxes from letterboxed-input pixels back to original-image
-    pixels (reference image_process.py:69-129)."""
+    pixels (reference image_process.py:69-129). ``scale`` is a scalar or an
+    (sx, sy) pair — per-axis when a host pre-shrink applied slightly
+    different effective ratios per axis (int truncation)."""
     px, py = pad
+    sx, sy = scale if isinstance(scale, (tuple, list)) else (scale, scale)
     out = boxes.astype(np.float32).copy()
-    out[..., [0, 2]] = (out[..., [0, 2]] - px) / scale
-    out[..., [1, 3]] = (out[..., [1, 3]] - py) / scale
+    out[..., [0, 2]] = (out[..., [0, 2]] - px) / sx
+    out[..., [1, 3]] = (out[..., [1, 3]] - py) / sy
     h, w = orig_shape
     out[..., [0, 2]] = out[..., [0, 2]].clip(0, w)
     out[..., [1, 3]] = out[..., [1, 3]].clip(0, h)
