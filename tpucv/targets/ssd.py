@@ -82,10 +82,15 @@ def assign_ssd_targets(
     gt_idx = jnp.where(forced, gt_of_forced, best_gt_per_prior)
     pos = assigned | forced
 
-    tgt_boxes = gt_boxes[gt_idx]                               # (A, 4)
+    # one-hot contraction instead of (A,)-destination gathers from the
+    # M-row GT table (serial on TPU; the MXU selection matmul is exact in
+    # f32 — one product with 1.0 per row)
+    oh = jax.nn.one_hot(gt_idx, M, dtype=jnp.float32)          # (A, M)
+    tgt_boxes = oh @ gt_boxes.astype(jnp.float32)              # (A, 4)
+    tgt_labels = (oh @ gt_labels.astype(jnp.float32)).astype(jnp.int32)
     loc = encode_boxes(tgt_boxes, priors, variances)
     loc = jnp.where(pos[:, None], loc, 0.0)
-    cls = jnp.where(pos, gt_labels[gt_idx] + 1, 0).astype(jnp.int32)
+    cls = jnp.where(pos, tgt_labels + 1, 0).astype(jnp.int32)
     return SSDTargets(loc, cls, pos)
 
 
