@@ -113,3 +113,24 @@ def test_trainer_consumes_pretrained_weights(tmp_path, monkeypatch):
     t1 = Yolo8Trainer(cfg)
     leaf = np.asarray(jax.tree.leaves(t1.init_params)[0])
     np.testing.assert_allclose(leaf, 0.123, atol=1e-6)
+
+
+def test_load_pretrained_bare_params_pytree(tmp_path):
+    """A msgpack file holding a bare params pytree (no {'params': ...}
+    wrapper) must overlay, not silently load 0 tensors."""
+    import jax.numpy as jnp
+    from flax import serialization as ser
+    from tpucv.ckpt.checkpoint import load_pretrained
+
+    params = {"dense": {"kernel": jnp.ones((3, 4)), "bias": jnp.zeros((4,))}}
+    path = tmp_path / "bare.msgpack"
+    path.write_bytes(ser.msgpack_serialize(
+        jax.tree_util.tree_map(lambda x: np.asarray(x), params)))
+
+    variables = {"params": {"dense": {"kernel": jnp.zeros((3, 4)),
+                                      "bias": jnp.ones((4,))}}}
+    out = load_pretrained(variables, str(path))
+    np.testing.assert_array_equal(out["params"]["dense"]["kernel"],
+                                  np.ones((3, 4)))
+    np.testing.assert_array_equal(out["params"]["dense"]["bias"],
+                                  np.zeros((4,)))
