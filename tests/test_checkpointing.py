@@ -1,6 +1,8 @@
 """Checkpoint backends: msgpack CheckPoint and Orbax manager roundtrips,
 plus EMA tracking in TrainState."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -134,3 +136,26 @@ def test_load_pretrained_bare_params_pytree(tmp_path):
                                   np.ones((3, 4)))
     np.testing.assert_array_equal(out["params"]["dense"]["bias"],
                                   np.zeros((4,)))
+
+
+def test_divergence_detection_saves_diagnostic_and_raises(tmp_path):
+    """A NaN loss stops training with a diagnostic checkpoint (failure
+    detection, SURVEY §5.3 — absent in the reference)."""
+    from tpucv.builder import export_from_registry
+    from tpucv.trainer.yolo8_train import Yolo8Trainer
+
+    cfg, _, trainer_cls = export_from_registry("yolo8_det")
+    cfg.dataset.input_size = 64
+    cfg.train.batch_size = 2
+    cfg.train.save_path = str(tmp_path)
+    cfg.log.root = str(tmp_path)
+    cfg.log.print_interval = 1
+    cfg.log.tensorboard_on = False
+    cfg.train.device_aug = False
+    tr = trainer_cls(cfg)
+    # poison the initial params: guarantees a NaN loss at the first step
+    tr.init_params = jax.tree_util.tree_map(
+        lambda x: x * jnp.nan, tr.init_params)
+    with pytest.raises(FloatingPointError, match="diverged"):
+        tr.train(max_steps=5)
+    assert any("diverged" in f for f in os.listdir(tmp_path))

@@ -222,6 +222,22 @@ class BaseTrainer:
                     if (bi + 1) % cfg.log.print_interval == 0 or bi == 0:
                         metrics = {k: float(v) for k, v in
                                    jax.device_get(metrics).items()}
+                        # failure detection (no reference counterpart --
+                        # SURVEY §5.3): a non-finite loss means the run is
+                        # dead; save a diagnostic checkpoint and stop
+                        # instead of burning the remaining epochs. Piggybacks
+                        # on the periodic metrics fetch: zero extra syncs.
+                        if not all(np.isfinite(v) for v in metrics.values()):
+                            path = self._ckpt_path(epoch).replace(
+                                ".ckpt", "-diverged.ckpt")
+                            CheckPoint.save(state, path)
+                            self.logger.error(
+                                f"non-finite metrics at epoch {epoch} step "
+                                f"{bi + 1}: {metrics} — diagnostic state "
+                                f"saved to {path}")
+                            raise FloatingPointError(
+                                f"training diverged (step {global_step}): "
+                                f"{metrics}")
                         for k, v in metrics.items():
                             metrics_acc.setdefault(k, MeanMetric()).update(v)
                         lr = float(self.lr_schedule(global_step))
