@@ -13,18 +13,20 @@ def extract_from_checkpoint(model_name: str, ckpt_path: str, out_path: str):
     (reference CheckPointModel, convert_model.py:9-44)."""
     from tpucv.builder import export_from_registry
     from tpucv.ckpt.checkpoint import CheckPoint
-    import optax
-    from tpucv.train.state import TrainState
 
     cfg, algo_cls, _ = export_from_registry(model_name)
     algo = algo_cls(cfg)
     variables = algo.init_variables()
-    tx = optax.adam(1e-3)
-    template = TrainState.create(
-        dict(variables["params"]), dict(variables.get("batch_stats", {})), tx)
-    state = CheckPoint.load(ckpt_path, template)
+    # load_pure handles both pure-variables files and full TrainState
+    # bundles WITHOUT needing the training optimizer structure (the bundle's
+    # opt_state layout depends on weight-decay/schedule config and must not
+    # be reconstructed here)
+    pure = CheckPoint.load_pure(ckpt_path, {
+        "params": dict(variables["params"]),
+        "batch_stats": dict(variables.get("batch_stats", {}))})
     CheckPoint.save_pure(
-        {"params": state.params, "batch_stats": state.batch_stats}, out_path)
+        {"params": pure["params"], "batch_stats": pure["batch_stats"]},
+        out_path)
     print(f"wrote {out_path}")
 
 

@@ -159,3 +159,37 @@ def test_divergence_detection_saves_diagnostic_and_raises(tmp_path):
     with pytest.raises(FloatingPointError, match="diverged"):
         tr.train(max_steps=5)
     assert any("diverged" in f for f in os.listdir(tmp_path))
+
+
+def test_convert_model_extracts_pure_weights_from_trainstate(tmp_path):
+    """convert_model on a FULL TrainState bundle (with a weight-decay
+    optax chain, like real training saves) must not depend on
+    reconstructing the optimizer structure."""
+    import optax
+    import convert_model
+    from tpucv.builder import export_from_registry
+    from tpucv.train.state import TrainState
+
+    cfg, algo_cls, _ = export_from_registry("yolo8_det")
+    cfg.dataset.input_size = 64
+    algo = algo_cls(cfg)
+    variables = algo.init_variables()
+    tx = optax.chain(optax.add_decayed_weights(1e-4), optax.adam(1e-3))
+    state = TrainState.create(
+        dict(variables["params"]), dict(variables.get("batch_stats", {})),
+        tx, use_ema=True)
+    src = str(tmp_path / "full.ckpt")
+    CheckPoint.save(state, src)
+
+    dst = str(tmp_path / "pure.ckpt")
+    # NOTE: converter builds the model at the registered cfg input size;
+    # params are size-independent for conv nets so the overlay matches
+    convert_model.extract_from_checkpoint("yolo8_det", src, dst)
+    out = CheckPoint.load_pure(dst, {
+        "params": dict(variables["params"]),
+        "batch_stats": dict(variables.get("batch_stats", {}))})
+    a = jax.tree_util.tree_leaves(out["params"])
+    b = jax.tree_util.tree_leaves(variables["params"])
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
