@@ -79,9 +79,28 @@ def bench_train_step():
     return B / dt, dt * 1e3
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: through the relay a cold compile
+    of the two jitted programs costs minutes of wall clock; warmed runs
+    start in seconds."""
+    import os
+
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax: run without the cache
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from tpucv.algorithms.base import init_on_cpu
     from tpucv.decode.yolov8 import decode_boxes
