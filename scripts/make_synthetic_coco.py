@@ -58,11 +58,17 @@ def main():
             color = (int(60 + 2 * k), int(rng.integers(90, 255)),
                      int(rng.integers(90, 255)))
             img[y:y + h, x:x + w] = color
+            # ~10% crowd regions exercise the ignore-region eval protocol
+            # end-to-end (drawn as a noisy cluster, like real crowds)
+            iscrowd = int(rng.random() < 0.1)
+            if iscrowd:
+                img[y:y + h, x:x + w] = rng.integers(
+                    60, 255, (h, w, 3), dtype=np.uint8)
             annotations.append({
                 "id": ann_id, "image_id": img_id,
                 "category_id": COCO_CAT_IDS[k],
                 "bbox": [float(x), float(y), float(w), float(h)],
-                "area": float(w * h), "iscrowd": 0,
+                "area": float(w * h), "iscrowd": iscrowd,
             })
             ann_id += 1
         cv2.imwrite(os.path.join(img_dir, name),

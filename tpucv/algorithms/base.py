@@ -177,7 +177,14 @@ class DetectionAlgorithm:
         with open(os.path.join(result_dir, "eval_results.json"), "w") as f:
             json.dump(dts, f)
         gts = []
+        eval_records = getattr(index, "eval_gt_records", None)
         for i in range(len(index)):
+            if eval_records is not None:
+                # full protocol: official ann areas + crowd GTs flagged
+                # iscrowd=1 so the matcher treats them as ignore regions
+                # (pycocotools semantics, reference yolo_v8.py:330-381)
+                gts.extend(eval_records(i))
+                continue
             _, boxes, labels = index[i]
             img_id = index.image_id(i)
             for b, l in zip(boxes, labels):
@@ -205,11 +212,20 @@ class DetectionAlgorithm:
             for b, s_, c in zip(boxes, scores, classes):
                 dts.append({"image_id": i, "class_id": int(c),
                             "bbox": b.tolist(), "score": float(s_)})
+        eval_record = getattr(index, "eval_record", None)
         for i in range(len(index)):
-            _, boxes, labels = index[i]
-            for b, l in zip(boxes, labels):
+            if eval_record is not None:
+                # difficult objects included but flagged: the engine treats
+                # them as ignore (neither TP nor FP), matching the
+                # reference protocol (core/metrics/mAP.py:352-386)
+                boxes, labels, difficult = eval_record(i)
+            else:
+                (_, boxes, labels), difficult = index[i], np.zeros(
+                    len(index[i][1]), bool)
+            for b, l, dif in zip(boxes, labels, difficult):
                 gts.append({"image_id": i, "class_id": int(l),
-                            "bbox": np.asarray(b).tolist()})
+                            "bbox": np.asarray(b).tolist(),
+                            "difficult": bool(dif)})
         res = evaluate_voc_map(gts, dts, self.class_names, iou_threshold)
         print_voc_map(res)
         return res

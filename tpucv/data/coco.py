@@ -30,31 +30,47 @@ class COCOIndex:
         self.contig_to_cat = {i: cid for i, cid in enumerate(self.cat_ids)}
         self.cat_names = [c["name"] for c in cats]
 
+        # Crowd annotations are KEPT but flagged: excluded from training
+        # targets (the reference's dataset also trains on non-crowd only),
+        # yet preserved for evaluation, where pycocotools treats them as
+        # ignore regions (``core/algorithms/yolo_v8.py:330-381`` evaluates
+        # through pycocotools, whose matcher ignores iscrowd GTs).
         anns_by_img = defaultdict(list)
+        crowd_by_img = defaultdict(list)
         for a in data.get("annotations", []):
-            if a.get("iscrowd", 0):
-                continue
             x, y, w, h = a["bbox"]
             if w < min_box or h < min_box:
                 continue
-            anns_by_img[a["image_id"]].append(a)
+            if a.get("iscrowd", 0):
+                crowd_by_img[a["image_id"]].append(a)
+            else:
+                anns_by_img[a["image_id"]].append(a)
+
+        def _pack(anns):
+            if not anns:
+                return (np.zeros((0, 4), np.float32),
+                        np.zeros((0,), np.int32), np.zeros((0,), np.float32))
+            boxes = np.asarray(
+                [[a["bbox"][0], a["bbox"][1],
+                  a["bbox"][0] + a["bbox"][2], a["bbox"][1] + a["bbox"][3]]
+                 for a in anns], np.float32)
+            labels = np.asarray(
+                [self.cat_to_contig[a["category_id"]] for a in anns],
+                np.int32)
+            areas = np.asarray(
+                [a.get("area", a["bbox"][2] * a["bbox"][3]) for a in anns],
+                np.float32)
+            return boxes, labels, areas
 
         self.samples: List[Tuple[str, np.ndarray, np.ndarray, int]] = []
+        self.areas: List[np.ndarray] = []       # official ann areas (seg area)
+        self.crowd: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         for img_id, im in self.images.items():
-            anns = anns_by_img.get(img_id, [])
-            if anns:
-                boxes = np.asarray(
-                    [[a["bbox"][0], a["bbox"][1],
-                      a["bbox"][0] + a["bbox"][2], a["bbox"][1] + a["bbox"][3]]
-                     for a in anns], np.float32)
-                labels = np.asarray(
-                    [self.cat_to_contig[a["category_id"]] for a in anns],
-                    np.int32)
-            else:
-                boxes = np.zeros((0, 4), np.float32)
-                labels = np.zeros((0,), np.int32)
+            boxes, labels, areas = _pack(anns_by_img.get(img_id, []))
             path = os.path.join(image_root, im["file_name"])
             self.samples.append((path, boxes, labels, img_id))
+            self.areas.append(areas)
+            self.crowd.append(_pack(crowd_by_img.get(img_id, [])))
 
     def __len__(self):
         return len(self.samples)
@@ -64,3 +80,27 @@ class COCOIndex:
 
     def image_id(self, i) -> int:
         return self.samples[i][3]
+
+    def eval_gt_records(self, i) -> List[dict]:
+        """All GT records for image i in COCO-eval form — non-crowd first,
+        then crowd with ``iscrowd: 1`` — with the annotation's official
+        ``area`` (segmentation area on real COCO, which pycocotools uses for
+        the small/medium/large range filter, not the bbox area)."""
+        _, boxes, labels, img_id = self.samples[i]
+        recs = []
+        for j, (b, l) in enumerate(zip(boxes, labels)):
+            recs.append({
+                "image_id": img_id, "category_id": self.contig_to_cat[int(l)],
+                "bbox": [float(b[0]), float(b[1]),
+                         float(b[2] - b[0]), float(b[3] - b[1])],
+                "area": float(self.areas[i][j]), "iscrowd": 0,
+            })
+        cboxes, clabels, careas = self.crowd[i]
+        for j, (b, l) in enumerate(zip(cboxes, clabels)):
+            recs.append({
+                "image_id": img_id, "category_id": self.contig_to_cat[int(l)],
+                "bbox": [float(b[0]), float(b[1]),
+                         float(b[2] - b[0]), float(b[3] - b[1])],
+                "area": float(careas[j]), "iscrowd": 1,
+            })
+        return recs
