@@ -7,8 +7,9 @@ import numpy as np
 import pytest
 
 from tpucv.nn.blocks import (
-    C1, C2, C3, C3x, CBAM, BottleneckCSP, ConvTransposeBnAct, Focus,
-    GhostBottleneck, GhostConv, Proto, SPP, TransformerBlock)
+    C1, C2, C3, C3Ghost, C3TR, C3x, CBAM, BottleneckCSP, ConvTransposeBnAct,
+    DWConvTranspose2d, Ensemble, Focus, GhostBottleneck, GhostConv, Proto,
+    SPP, TransformerBlock)
 from tpucv.nn.heads import ClassifyHead, PoseHead, SegmentHead
 from tpucv.ops.masks import crop_mask, process_mask
 
@@ -23,6 +24,8 @@ pytestmark = pytest.mark.slow  # heavy: full-model compiles
     (C2(24, 2), 24),
     (C3(24, 2), 24),
     (C3x(24, 2), 24),
+    (C3TR(24, 2), 24),
+    (C3Ghost(24, 2), 24),
     (BottleneckCSP(24, 2), 24),
     (GhostConv(24), 24),
     (GhostBottleneck(32), 32),
@@ -51,6 +54,39 @@ def test_conv_transpose_upsamples():
     m = ConvTransposeBnAct(16)
     v = m.init(jax.random.PRNGKey(0), X)
     assert m.apply(v, X).shape == (1, 32, 32, 16)
+
+
+def test_dw_conv_transpose_matches_torch():
+    """DWConvTranspose2d ≡ torch nn.ConvTranspose2d(groups=gcd) numerically
+    (reference modules.py:43-48), incl. stride/padding/output-padding."""
+    import torch
+
+    c1, c2, k, s, p1, p2 = 8, 12, 3, 2, 1, 1
+    g = 4  # gcd(8, 12)
+    tm = torch.nn.ConvTranspose2d(c1, c2, k, s, p1, p2, groups=g)
+    x = np.random.default_rng(0).standard_normal((2, 6, 5, c1)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+
+    m = DWConvTranspose2d(c2, k, s, p1, p2)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # torch weight (c1, c2/g, k, k) -> HWIO grouped (k, k, c1/g, c2)
+    w = tm.weight.detach().numpy().reshape(g, c1 // g, c2 // g, k, k)
+    w = w.transpose(3, 4, 1, 0, 2).reshape(k, k, c1 // g, c2)
+    v = {"params": {"kernel": jnp.asarray(w),
+                    "bias": jnp.asarray(tm.bias.detach().numpy())}}
+    out = np.asarray(m.apply(v, jnp.asarray(x)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_ensemble_concatenates_candidates():
+    a = lambda v, x: jnp.ones((2, 5, 6)) * v
+    ens = Ensemble([(a, 1.0), (a, 2.0)])
+    out = ens(jnp.zeros((2, 3, 3, 3)))
+    assert out.shape == (2, 10, 6)
+    assert float(out[0, 0, 0]) == 1.0 and float(out[0, 7, 0]) == 2.0
 
 
 def test_proto_upsamples():

@@ -5,10 +5,10 @@ Re-design of the reference (``core/models/centernet_model.py``): full DLA-34
 deformable-free there too), and the multi-head output {heatmap: C, wh: 2,
 reg: 2} concatenated to (B, H/4, W/4, C+4) (:365-379).
 
-Deltas for TPU: NHWC; the IDAUp transposed-conv-with-bilinear-init upsample is
-replaced by bilinear resize + 3x3 conv (same function, simpler XLA graph);
-heatmap head bias initialised to -2.19 like the reference so sigmoid starts
-near 0.1.
+Deltas for TPU: NHWC; the IDAUp grouped transposed conv is kept faithfully
+(``DepthwiseUp`` below: fractionally-strided depthwise conv with bilinear
+init, golden-tested against torch ConvTranspose2d); heatmap head bias
+initialised to -2.19 like the reference so sigmoid starts near 0.1.
 """
 
 from __future__ import annotations

@@ -13,12 +13,16 @@ from tpucv.nn.blocks import (  # noqa: F401
     C2,
     C2f,
     C3,
+    C3Ghost,
+    C3TR,
     C3x,
     CBAM,
     ChannelAttention,
     ConvBnAct,
     ConvTransposeBnAct,
     DWConv,
+    DWConvTranspose2d,
+    Ensemble,
     Bottleneck,
     Focus,
     GhostBottleneck,

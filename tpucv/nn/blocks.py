@@ -514,3 +514,90 @@ class Proto(nn.Module):
         x = ConvBnAct(self.mid_ch, 3, dtype=self.dtype, name="cv2")(x, train)
         return ConvBnAct(self.n_masks, 1, dtype=self.dtype, name="cv3")(
             x, train)
+
+
+class C3TR(C3):
+    """C3 whose bottleneck chain is a TransformerBlock (reference
+    modules.py:271-277)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(self.out_ch * self.e)
+        a = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        a = TransformerBlock(c_, 4, self.n, dtype=self.dtype, name="m")(
+            a, train)
+        b = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return ConvBnAct(self.out_ch, 1, 1, dtype=self.dtype, name="cv3")(
+            jnp.concatenate([a, b], axis=-1), train)
+
+
+class C3Ghost(C3):
+    """C3 whose bottleneck chain is GhostBottlenecks (reference
+    modules.py:280-286)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(self.out_ch * self.e)
+        a = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            a = GhostBottleneck(c_, dtype=self.dtype, name=f"m{i}")(a, train)
+        b = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return ConvBnAct(self.out_ch, 1, 1, dtype=self.dtype, name="cv3")(
+            jnp.concatenate([a, b], axis=-1), train)
+
+
+class DWConvTranspose2d(nn.Module):
+    """Depth-wise transposed conv, groups=gcd(c1, c2), with bias (reference
+    modules.py:43-48). Lowered as a fractionally-strided grouped conv
+    (lhs_dilation + flipped kernel), the form XLA tiles onto the MXU; output
+    size follows torch's (H-1)*s - 2*p1 + k + p2 via asymmetric padding."""
+
+    out_ch: int
+    k: int = 1
+    s: int = 1
+    p1: int = 0     # input padding
+    p2: int = 0     # output padding (extra rows/cols at bottom/right)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        import math
+
+        c1 = x.shape[-1]
+        g = math.gcd(c1, self.out_ch)
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.k, self.k, c1 // g, self.out_ch), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.out_ch,),
+                       jnp.float32)
+        lo = self.k - 1 - self.p1
+        hi = lo + self.p2
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w[::-1, ::-1].astype(self.dtype),
+            window_strides=(1, 1), padding=((lo, hi), (lo, hi)),
+            lhs_dilation=(self.s, self.s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=g)
+        return y + b.astype(y.dtype)
+
+
+class Ensemble:
+    """NMS-ensemble of detection models (reference modules.py:390-404):
+    every member predicts on the same batch and the candidate boxes are
+    concatenated so downstream NMS fuses them. Members are
+    ``(apply_fn, variables)`` pairs whose outputs share every axis except
+    the candidate axis (axis 1 in tpucv's (B, A, no) decode layout; the
+    reference's dim-2 in its (B, no, A) layout)."""
+
+    def __init__(self, members=(), axis: int = 1):
+        self.members = list(members)
+        self.axis = axis
+
+    def append(self, apply_fn, variables):
+        self.members.append((apply_fn, variables))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if not self.members:
+            raise ValueError("Ensemble has no members")
+        outs = [fn(v, x) for fn, v in self.members]
+        return jnp.concatenate(outs, axis=self.axis)
