@@ -57,8 +57,13 @@ def install_reference_stubs():
         sys.modules["pycocotools"] = pkg
         sys.modules["pycocotools.coco"] = coco
         sys.modules["pycocotools.cocoeval"] = cocoeval
+    # APPEND, never insert(0): the reference checkout shares top-level module
+    # names with the repo root (convert_model, train, registry, ...); putting
+    # it first would shadow them for every later test in the same process
+    # (ADVICE r2: 'import convert_model' in test_checkpointing picked up the
+    # reference's torch version after any golden test ran).
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        sys.path.append(REF)
 
 
 @pytest.fixture(scope="module", autouse=True)

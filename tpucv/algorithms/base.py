@@ -130,12 +130,17 @@ class DetectionAlgorithm:
                 img = read_image(path) if isinstance(path, str) else path
                 oh, ow = img.shape[:2]           # exact original, pre-resize
                 if oh > C or ow > C:
-                    # rare: pre-shrink on host so the raw fits the canvas
+                    # rare: pre-shrink on host so the raw fits the canvas.
+                    # INTER_NEAREST keeps the whole pipeline in one
+                    # resampling family — the chip letterbox is nearest too,
+                    # and the reference's single-host letterbox is
+                    # INTER_NEAREST (core/utils/image_process.py:48-66) —
+                    # so oversized images stay on the parity path (ADVICE r2).
                     import cv2
                     pre = C / max(oh, ow)
                     img = cv2.resize(
                         img, (int(ow * pre), int(oh * pre)),
-                        interpolation=cv2.INTER_AREA)
+                        interpolation=cv2.INTER_NEAREST)
                 h, w = img.shape[:2]
                 canvases[j, :h, :w] = img
                 hw[j] = (h, w)

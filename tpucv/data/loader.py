@@ -206,7 +206,26 @@ class Loader:
         nw = min(self.num_workers, max(n_batches, 1))
         spec = self._batch_spec()
         depth = max(self.prefetch, 2)
-        ctx = mp.get_context("fork")           # datasets inherit via COW
+        # fork: datasets inherit via copy-on-write (no pickling). HAZARD
+        # (ADVICE r2): forking a JAX-initialised multithreaded parent can
+        # deadlock a worker if an XLA background thread holds a lock at fork
+        # time. Workers only touch numpy/cv2, which keeps this safe in
+        # practice, but warn so the failure mode is attributable.
+        jax_live = False
+        try:
+            from jax._src import xla_bridge
+            jax_live = bool(xla_bridge._backends)   # backend initialised
+        except Exception:
+            pass
+        if jax_live:
+            import warnings
+            warnings.warn(
+                "tpucv.Loader(num_workers>0) forks after JAX initialisation; "
+                "workers must not call into jax (they only run numpy/cv2 "
+                "dataset code). If a worker hangs at startup, create the "
+                "Loader before the first jax computation.",
+                RuntimeWarning, stacklevel=3)
+        ctx = mp.get_context("fork")
 
         slots: List[List[_ShmSlot]] = [
             [_ShmSlot(spec) for _ in range(depth)] for _ in range(nw)]
