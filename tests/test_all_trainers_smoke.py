@@ -43,3 +43,21 @@ def test_one_train_step(name, tmp_path):
     assert int(state.step) == 1
     leaves = jax.tree_util.tree_leaves(state.params)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_trainer_smoke_with_model_axis(tmp_path):
+    """Production trainer on a (data, model=2) mesh: channel-sharded params
+    through a real registered model's train step (VERDICT r2 #4)."""
+    from tpucv.builder import export_from_registry
+    cfg, _, trainer_cls = export_from_registry("yolo8_det")
+    cfg = _shrink(cfg, "yolo8_det")
+    cfg.train.n_model = 2
+    cfg.train.save_path = str(tmp_path / "saves")
+    cfg.log.root = str(tmp_path / "log")
+    trainer = trainer_cls(cfg)
+    assert trainer.mesh.shape["model"] == 2
+    assert trainer.mesh.shape["data"] == 2       # batch 2 caps the data axis
+    state = trainer.train(max_steps=1)
+    assert int(state.step) == 1
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

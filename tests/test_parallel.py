@@ -61,6 +61,58 @@ def test_dp_grads_match_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_channel_sharded_grads_match_single_device():
+    """(data=4, model=2) with param_sharding_rule actually channel-sharding
+    a large conv kernel — the exact mesh the driver dryrun runs — must give
+    the same loss and updated params as a single device (VERDICT r2 #4)."""
+    from flax import linen as nn
+    from jax.sharding import PartitionSpec as P
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            # 3*3*64*128 = 73,728 params >= 1<<16: the sharding rule fires
+            x = nn.Conv(64, (1, 1), name="c0")(x)
+            x = nn.relu(x)
+            x = nn.Conv(128, (3, 3), padding="SAME", name="c1")(x)
+            x = nn.relu(x)
+            nn.BatchNorm(use_running_average=not train, name="bn")(x)
+            return nn.Conv(1, (1, 1), name="c2")(x)
+
+    model = Net()
+    x = np.random.default_rng(0).normal(size=(8, 8, 8, 3)).astype(np.float32)
+    y = np.random.default_rng(1).normal(size=(8, 8, 8, 1)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss_fn(raw, batch):
+        return jnp.mean((raw - batch["y"]) ** 2), {}
+
+    tx = optax.sgd(0.1)
+
+    def run(mesh):
+        with mesh:
+            params = pmesh.shard_params(variables["params"], mesh)
+            if mesh.shape["model"] > 1:
+                # the rule must have sharded c1's kernel over the model axis
+                spec = params["c1"]["kernel"].sharding.spec
+                assert spec == P(None, None, None, "model"), spec
+            bs = jax.device_put(variables["batch_stats"],
+                                pmesh.replicated(mesh))
+            state = TrainState.create(params, bs, tx)
+            batch = pmesh.shard_batch({"images": x, "y": y}, mesh)
+            step = make_train_step(model.apply, loss_fn, tx, donate=False)
+            new_state, metrics = step(state, batch)
+            return jax.device_get(new_state.params), float(metrics["loss"])
+
+    p42, l42 = run(pmesh.create_mesh(4, 2))
+    p1, l1 = run(pmesh.create_mesh(1, 1, jax.devices()[:1]))
+    assert abs(l42 - l1) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(p42),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_warmup_multistep_schedule_values():
     sched = warmup_multistep(1.0, 10, [100, 200], 0.1)
     assert abs(float(sched(0)) - 0.1) < 1e-6         # (0+1)/10

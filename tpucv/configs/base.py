@@ -33,6 +33,10 @@ class TrainCfg:
     mosaic_prob: float = 0.5
     special_aug_ratio: float = 0.7
     device_aug: bool = True      # affine/flip/HSV on-chip (fused with step)
+    # model-axis size of the (data, model) mesh: >1 channel-shards the
+    # largest conv kernels (tpucv/parallel/mesh.py param_sharding_rule) —
+    # useful for the l/x scales when replicated params+opt state crowd HBM
+    n_model: int = 1
 
 
 @dataclass

@@ -56,13 +56,21 @@ class BaseTrainer:
     def __init__(self, cfg, use_synthetic_fallback: bool = True):
         self.cfg = cfg
         self.use_synthetic_fallback = use_synthetic_fallback
-        # largest device count that divides the batch (a 8-device CPU test
-        # mesh with batch 2 must degrade to 2-way DP, not crash)
+        # mesh = (data, model): model axis from config (channel sharding),
+        # then the largest data-axis size that divides the batch (a 8-device
+        # CPU test mesh with batch 2 must degrade to 2-way DP, not crash)
         n_dev = len(jax.devices())
         bs = cfg.train.batch_size
-        n_data = next(d for d in range(min(n_dev, bs), 0, -1)
-                      if bs % d == 0 and n_dev % d == 0)
-        self.mesh = pmesh.create_mesh(n_data, 1, jax.devices()[:n_data])
+        n_model = max(1, getattr(cfg.train, "n_model", 1))
+        if n_dev % n_model:
+            raise ValueError(
+                f"train.n_model={n_model} does not divide the "
+                f"{n_dev} available devices")
+        avail = n_dev // n_model
+        n_data = next(d for d in range(min(avail, bs), 0, -1)
+                      if bs % d == 0)
+        self.mesh = pmesh.create_mesh(
+            n_data, n_model, jax.devices()[:n_data * n_model])
         self.compute_dtype = (jnp.bfloat16 if cfg.train.mixed_precision
                               else jnp.float32)
 

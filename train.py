@@ -13,9 +13,14 @@ def main():
                         help="yolo7 | yolo8_det | ssd | centernet | deeplabv3plus")
     parser.add_argument("--max-steps", type=int, default=None,
                         help="stop after N optimizer steps (smoke runs)")
+    parser.add_argument("--n-model", type=int, default=None,
+                        help="model-axis size of the (data, model) mesh; "
+                             ">1 channel-shards the largest conv kernels")
     args = parser.parse_args()
 
     cfg, _algo, trainer_cls = export_from_registry(args.model)
+    if args.n_model is not None:
+        cfg.train.n_model = args.n_model
     trainer = trainer_cls(cfg)
     trainer.train(max_steps=args.max_steps)
 
