@@ -163,7 +163,8 @@ class DetectionAlgorithm:
     # -------- evaluation harnesses ---------------------------------------
     def evaluate_on_coco(self, variables, index, batch_size: int = 32,
                          conf_threshold: float = 0.001,
-                         result_dir: str = "result") -> Dict[str, float]:
+                         result_dir: str = "result",
+                         verbose: bool = True) -> Dict[str, float]:
         from tpucv.metrics.coco_map import COCOMeanAP
 
         dts = []
@@ -203,12 +204,14 @@ class DetectionAlgorithm:
                 })
         ev = COCOMeanAP(gts, dts, index.cat_ids).accumulate()
         stats = ev.summarize()
-        ev.print_summary(stats)
+        if verbose:
+            ev.print_summary(stats)
         return stats
 
     def evaluate_on_voc(self, variables, index, batch_size: int = 32,
                         conf_threshold: float = 0.001,
-                        iou_threshold: float = 0.5) -> Dict:
+                        iou_threshold: float = 0.5,
+                        verbose: bool = True) -> Dict:
         from tpucv.metrics.voc_map import evaluate_voc_map, print_voc_map
 
         dts, gts = [], []
@@ -232,5 +235,6 @@ class DetectionAlgorithm:
                             "bbox": np.asarray(b).tolist(),
                             "difficult": bool(dif)})
         res = evaluate_voc_map(gts, dts, self.class_names, iou_threshold)
-        print_voc_map(res)
+        if verbose:
+            print_voc_map(res)
         return res

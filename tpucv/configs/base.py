@@ -28,6 +28,10 @@ class TrainCfg:
     last_epoch: int = -1
     eval_interval: int = 10
     save_interval: int = 10
+    # in-training detection mAP on the val split every eval_interval epochs
+    # (beats the reference's val-loss-only loop, yolo8_train.py:113-129)
+    eval_map: bool = False
+    eval_map_conf: float = 0.01     # conf floor for the in-training pass
     save_path: str = "saves"
     pretrained_weights: str = ""
     mosaic_prob: float = 0.5

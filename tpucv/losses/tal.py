@@ -70,6 +70,7 @@ def task_aligned_assigner(
     beta: float = 6.0,
     num_classes: int = 80,
     eps: float = 1e-9,
+    exact: bool | None = None,
 ) -> TALResult:
     """Assign GTs to anchors by the task-aligned metric s^alpha * iou^beta.
 
@@ -111,13 +112,18 @@ def task_aligned_assigner(
     # zero-metric anchors can be selected in tie order; invalids die at the
     # in-gts intersection below.
     k = min(topk, A)
-    if jax.default_backend() == "tpu":
+    if exact is None:
+        exact = jax.default_backend() != "tpu"
+    if not exact:
         # TPU fast path: approx_max_k maps onto the fast partial-reduction
         # unit; exact top_k would sort all A anchors per (image, gt) row and
         # dominated the train step (measured ~100 ms at B=64, M=32, A=8400).
         # The kth-threshold compare replaces the scatter (serial stores on
         # TPU). Deviation from the reference: anchors with align <= eps are
         # never selected — irrelevant once training has moved off init.
+        # Measured bound: scripts/measure_tal_approx.py reports fg_mask /
+        # target-assignment agreement vs the exact path on the real TPU
+        # (docs/performance.md records the numbers).
         topk_vals, _ = jax.lax.approx_max_k(align, k, recall_target=0.95)
         kth = topk_vals[..., -1:]                               # (B, M, 1)
         mask_topk = (align >= jnp.maximum(kth, eps)) & (align > eps)

@@ -268,6 +268,9 @@ class BaseTrainer:
                     f"(means over logged steps: {ep_means})")
                 if (epoch + 1) % cfg.train.eval_interval == 0:
                     val = self.evaluate_loop(state)
+                    if getattr(cfg.train, "eval_map", False):
+                        val.update(self.evaluate_map(state))
+                    self.last_eval = val
                     self.logger.info(f"eval epoch {epoch}: {val}")
                     if self.tb:
                         for k, v in val.items():
@@ -290,6 +293,34 @@ class BaseTrainer:
             f"{self.cfg.model_name}_{self.cfg.dataset.name}_{tag}.ckpt")
 
     # -------------------------------------------------------------- eval
+    def evaluate_map(self, state) -> Dict[str, float]:
+        """In-training detection mAP over the val index via the batched eval
+        harness (train.eval_map=True) — observability the reference's
+        val-loss-only loop lacks. COCO-style indices get the 12-metric
+        COCOeval (logged as AP/AP50); everything else the VOC engine
+        (mAP@0.5). Uses EMA params when EMA is on (what eval would ship)."""
+        index = getattr(self, "val_index", None)
+        algo = getattr(self, "algorithm", None)
+        if index is None or algo is None or not hasattr(algo, "make_infer_fn"):
+            return {}
+        variables = {
+            "params": state.ema_params if state.ema_params is not None
+            else state.params,
+            "batch_stats": state.batch_stats,
+        }
+        conf = getattr(self.cfg.train, "eval_map_conf", 0.01)
+        bs = self.cfg.train.batch_size
+        if hasattr(index, "eval_gt_records"):       # COCO protocol
+            stats = algo.evaluate_on_coco(
+                variables, index, batch_size=bs, conf_threshold=conf,
+                result_dir=os.path.join(self.cfg.log.root, "eval"),
+                verbose=False)
+            return {"map": stats["AP"], "map50": stats["AP50"]}
+        res = algo.evaluate_on_voc(
+            variables, index, batch_size=bs, conf_threshold=conf,
+            verbose=False)
+        return {"map50": res["mAP"]}
+
     def evaluate_loop(self, state) -> Dict[str, float]:
         """Default: mean val loss (reference yolo8_train.py:113-129)."""
         eval_step = getattr(self, "_eval_step", None)

@@ -39,7 +39,9 @@ def build_detection_indices(cfg, logger=None):
             SyntheticDetectionIndex(16, s, nc, seed=1))
 
 
-def build_detection_loaders(cfg, logger=None) -> Tuple[Loader, Loader]:
+def build_detection_loaders(cfg, logger=None) -> Tuple[Loader, Loader, object]:
+    """(train_loader, val_loader, val_index) — the raw val index feeds the
+    in-training mAP harness (train.eval_map)."""
     train_idx, val_idx = build_detection_indices(cfg, logger)
     t = cfg.train
     train_ds = DetectionDataset(
@@ -52,4 +54,5 @@ def build_detection_loaders(cfg, logger=None) -> Tuple[Loader, Loader]:
         train=False)
     nw = getattr(cfg.dataset, "num_workers", 0)
     return (Loader(train_ds, t.batch_size, shuffle=True, num_workers=nw),
-            Loader(val_ds, t.batch_size, shuffle=False, num_workers=nw))
+            Loader(val_ds, t.batch_size, shuffle=False, num_workers=nw),
+            val_idx)

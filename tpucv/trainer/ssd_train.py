@@ -15,4 +15,5 @@ class SsdTrainer(BaseTrainer):
         self.algorithm = Ssd(self.cfg)
 
     def load_data(self):
-        self.train_loader, self.val_loader = build_detection_loaders(self.cfg)
+        self.train_loader, self.val_loader, self.val_index = \
+            build_detection_loaders(self.cfg)

@@ -14,4 +14,5 @@ class Yolo8Trainer(BaseTrainer):
         self.algorithm = YOLOv8(self.cfg)
 
     def load_data(self):
-        self.train_loader, self.val_loader = build_detection_loaders(self.cfg)
+        self.train_loader, self.val_loader, self.val_index = \
+            build_detection_loaders(self.cfg)

@@ -67,4 +67,5 @@ class Yolo3Trainer(BaseTrainer):
         self.algorithm = Yolo3Algorithm(self.cfg)
 
     def load_data(self):
-        self.train_loader, self.val_loader = build_detection_loaders(self.cfg)
+        self.train_loader, self.val_loader, self.val_index = \
+            build_detection_loaders(self.cfg)
