@@ -40,6 +40,16 @@ def install_reference_stubs():
                 setattr(sys.modules[parent], child, mod)
     sys.modules["torchvision.ops"].nms = lambda *a, **k: None
     sys.modules["torchvision.ops"].batched_nms = lambda *a, **k: None
+
+    def _to_tensor(img):
+        # torchvision F.to_tensor semantics: HWC uint8 -> CHW float / 255
+        import torch
+        arr = np.asarray(img)
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+        return torch.from_numpy(np.ascontiguousarray(arr.transpose(2, 0, 1)))
+
+    sys.modules["torchvision.transforms.functional"].to_tensor = _to_tensor
     class _FakeWeights:
         class IMAGENET1K_V2:
             url = ""

@@ -1,0 +1,234 @@
+"""Metric-level end-to-end parity: the reference's own published VOC number
+vs tpucv's, on the same data (VERDICT r2 #2 — the last link of the quality
+chain: golden forwards/decodes prove box parity; these prove the *final
+published mAP* agrees).
+
+Three layers:
+  1. engine parity — identical detections/GTs through the reference's
+     vendored Cartucho ``get_map`` (mAP.py:302-835) and tpucv's
+     ``evaluate_voc_map`` must agree to float precision (incl. difficult
+     ignore semantics and the legacy +1 pixel IoU convention);
+  2. GT artifact parity — tpucv's txt export of a VOC index equals the GT
+     txt files the reference's evaluate_on_voc writes from the same xml;
+  3. full e2e — same random-init weights in the reference torch model and
+     tpucv, both full evaluate_on_voc paths (JPEG -> forward -> decode ->
+     NMS -> engine) on the same synthetic VOC, final mAP compared.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "core")),
+    reason="reference checkout not available")]
+
+VOC_N = 12  # synthetic images (3 in val)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def ref_path():
+    from test_golden_pipeline import _torch_greedy_nms
+    from test_golden_losses import install_reference_stubs
+    install_reference_stubs()
+    import torch
+    tv_ops = sys.modules["torchvision.ops"]
+
+    def batched_nms(boxes, scores, idxs, iou_threshold):
+        off = boxes + idxs[:, None].to(boxes.dtype) * 7680.0
+        return _torch_greedy_nms(off, scores, iou_threshold)
+
+    tv_ops.nms = _torch_greedy_nms
+    tv_ops.batched_nms = batched_nms
+    if not hasattr(np, "int"):
+        np.int = int
+    yield
+
+
+@pytest.fixture(scope="module")
+def synthetic_voc(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synvoc")
+    subprocess.run(
+        [sys.executable, "scripts/make_synthetic_voc.py",
+         "--root", str(root), "--n", str(VOC_N)],
+        check=True, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    return str(root)
+
+
+def _random_eval_set(rng, n_images=6, n_cls=5):
+    """GTs with difficult flags + detections mixing near-hits and noise —
+    enough near-threshold IoUs to exercise every matching branch."""
+    from tpucv.configs.dataset_cfg import VOC_CLASSES
+    names = VOC_CLASSES[:n_cls]
+    gts, dts = [], []
+    for i in range(n_images):
+        for _ in range(int(rng.integers(1, 6))):
+            x, y = rng.uniform(0, 400, 2)
+            w, h = rng.uniform(30, 150, 2)
+            c = int(rng.integers(0, n_cls))
+            gts.append({"image_id": i, "class_id": c,
+                        "bbox": [x, y, x + w, y + h],
+                        "difficult": bool(rng.random() < 0.2)})
+            # 0-3 detections around each GT at varied IoU + score
+            for _ in range(int(rng.integers(0, 4))):
+                j = rng.uniform(-0.4, 0.4, 4) * [w, h, w, h]
+                dts.append({"image_id": i, "class_id": c,
+                            "bbox": list(np.array([x, y, x + w, y + h]) + j),
+                            "score": float(rng.uniform(0.05, 0.99))})
+        for _ in range(int(rng.integers(0, 5))):   # pure noise
+            x, y = rng.uniform(0, 400, 2)
+            w, h = rng.uniform(20, 120, 2)
+            dts.append({"image_id": i, "class_id": int(rng.integers(0, n_cls)),
+                        "bbox": [x, y, x + w, y + h],
+                        "score": float(rng.uniform(0.05, 0.99))})
+    return names, gts, dts
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_engine_parity_reference_get_map(tmp_path, seed):
+    """Same txt dirs -> reference get_map vs tpucv engine: equal mAP."""
+    from core.metrics.mAP import get_map
+    from tpucv.metrics.voc_map import evaluate_voc_map
+    from tpucv.metrics.voc_txt import (
+        export_detection_txt, export_ground_truth_txt,
+        import_detection_txt, import_ground_truth_txt)
+
+    rng = np.random.default_rng(seed)
+    names, gts, dts = _random_eval_set(rng)
+
+    root = tmp_path / f"map_out{seed}"
+    keys = [f"{i:06d}" for i in range(6)]
+    export_detection_txt(dts, names, str(root / "detection-results"), keys)
+
+    class _GtIndex:       # minimal index view over the dict GTs
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            mine = [g for g in gts if g["image_id"] == i]
+            return (f"{keys[i]}.jpg",
+                    np.array([g["bbox"] for g in mine], np.float32),
+                    np.array([g["class_id"] for g in mine], np.int32))
+
+        def eval_record(self, i):
+            mine = [g for g in gts if g["image_id"] == i]
+            return (np.array([g["bbox"] for g in mine], np.float32),
+                    np.array([g["class_id"] for g in mine], np.int32),
+                    np.array([g["difficult"] for g in mine], bool))
+
+    export_ground_truth_txt(_GtIndex(), str(root / "ground-truth"), names)
+
+    ref_map = get_map(0.5, False, score_threshold=0.5, path=str(root))
+
+    # both engines read the SAME txt artifacts (int-truncated coords)
+    r_dts = import_detection_txt(str(root / "detection-results"), names)
+    r_gts = import_ground_truth_txt(str(root / "ground-truth"), names)
+    res = evaluate_voc_map(r_gts, r_dts, names, 0.5)
+    assert res["mAP"] == pytest.approx(ref_map, abs=1e-9)
+
+
+def test_gt_txt_matches_reference_writer(synthetic_voc, tmp_path):
+    """tpucv's GT export == the files the reference's evaluate_on_voc writes
+    from the same xml (yolo_v8.py:302-324) — byte-identical content."""
+    import xml.etree.ElementTree as ET
+    from tpucv.configs.dataset_cfg import VOC_CLASSES
+    from tpucv.data.voc import VOCDetectionIndex
+    from tpucv.metrics.voc_txt import export_ground_truth_txt, voc_image_keys
+
+    index = VOCDetectionIndex(synthetic_voc, split="val")
+    out = tmp_path / "gt"
+    export_ground_truth_txt(index, str(out), VOC_CLASSES)
+
+    for key in voc_image_keys(index):
+        # replicate the reference writer verbatim
+        ref_lines = []
+        xml_root = ET.parse(os.path.join(
+            synthetic_voc, "Annotations", f"{key}.xml")).getroot()
+        for obj in xml_root.findall("object"):
+            difficult_flag = (obj.find("difficult") is not None
+                              and int(obj.find("difficult").text) == 1)
+            name = obj.find("name").text
+            if name not in VOC_CLASSES:
+                continue
+            bb = obj.find("bndbox")
+            l, t = bb.find("xmin").text, bb.find("ymin").text
+            r, b = bb.find("xmax").text, bb.find("ymax").text
+            tail = " difficult" if difficult_flag else ""
+            ref_lines.append(f"{name} {l} {t} {r} {b}{tail}\n")
+        with open(out / f"{key}.txt") as f:
+            assert f.readlines() == ref_lines
+
+
+def test_full_e2e_published_map_parity(synthetic_voc, tmp_path, monkeypatch):
+    """Same weights, both frameworks' complete evaluate_on_voc, same
+    synthetic VOC -> the two published mAP@0.5 numbers agree."""
+    import torch
+    import core.algorithms.yolo_v8 as ref_algo_mod
+    from configs import Yolo8DetConfig
+    from core.models.yolov8.yolo_v8 import get_yolo8_n
+
+    from tpucv.builder import export_from_registry
+    from tpucv.ckpt.importer import import_yolov8, merge_into_variables
+    from tpucv.data.voc import VOCDetectionIndex
+
+    # ---- shared weights: random-init torch yolo8n(nc=20), imported ----
+    torch.manual_seed(7)
+    tm = get_yolo8_n(nc=20)
+    # ultralytics' cls-bias init puts every random-init score below the 0.001
+    # conf floor, which trips a latent reference bug (yolo_v8.py:279 assigns
+    # into the decode_box tuple when an image has zero detections). Raise the
+    # cls biases so every image yields real detections for the comparison.
+    for m in tm.modules():
+        if type(m).__name__ == "Detect":
+            for seq in m.cv3:
+                torch.nn.init.constant_(seq[-1].bias, -3.0)
+    tm.eval()
+    for mod in tm.modules():
+        mod.training = False
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    cfg, algo_cls, _ = export_from_registry("yolo8_det")
+    cfg.dataset.name = "voc"
+    cfg.dataset.num_classes = 20
+    algo = algo_cls(cfg)
+    model = algo.build_model()
+    variables = algo.init_variables(model)
+    variables = merge_into_variables(
+        {"params": dict(variables["params"]),
+         "batch_stats": dict(variables["batch_stats"])}, import_yolov8(sd))
+
+    # ---- reference path: its own evaluate_on_voc, mAP captured ----
+    ref_cfg = Yolo8DetConfig()
+    ref_cfg.dataset.num_classes = 20
+    ref_cfg.dataset.dataset_name = "voc"
+    ref_algo_mod.VOC_CFG["root"] = synthetic_voc
+    captured = {}
+    real_get_map = ref_algo_mod.get_map
+
+    def capture_get_map(minoverlap, draw_plot, score_threshold=0.5,
+                        path="./map_out"):
+        captured["map"] = real_get_map(minoverlap, False,
+                                       score_threshold, path)
+        return captured["map"]
+
+    monkeypatch.setattr(ref_algo_mod, "get_map", capture_get_map)
+    monkeypatch.setattr(ref_algo_mod, "get_coco_map",
+                        lambda *a, **k: None)   # needs real pycocotools
+    ref_algo = ref_algo_mod.YOLOv8(ref_cfg, torch.device("cpu"))
+    with torch.no_grad():
+        ref_algo.evaluate_on_voc(tm, str(tmp_path / "ref_out"), subset="val")
+    ref_map = captured["map"]
+
+    # ---- tpucv path: its own evaluate_on_voc on the same val split ----
+    index = VOCDetectionIndex(synthetic_voc, split="val")
+    res = algo.evaluate_on_voc(variables, index, batch_size=4,
+                               conf_threshold=0.001, verbose=False)
+
+    # box parity is ~2e-4 (golden pipeline); residual mAP drift comes from
+    # the reference's int-truncated txt coords and near-tied noise scores
+    assert res["mAP"] == pytest.approx(ref_map, abs=0.02)

@@ -31,6 +31,7 @@ def evaluate_voc_map(
     dts: Sequence[dict],
     class_names: Sequence[str],
     iou_threshold: float = 0.5,
+    legacy_onepix: bool = True,
 ) -> Dict:
     """Compute per-class AP + mAP at one IoU threshold.
 
@@ -38,6 +39,12 @@ def evaluate_voc_map(
     dts: {image_id, class_id, bbox xyxy, score}
     Difficult GTs are ignored (not counted, matches don't count as FP) —
     same convention as the reference engine.
+
+    legacy_onepix reproduces the reference engine's classic VOC +1 pixel
+    convention (``iw = bi[2]-bi[0]+1`` etc, mAP.py:495-501): widths/heights
+    get +1 in both intersection and areas. Default ON so published numbers
+    match the reference bit-for-bit; pass False for the continuous
+    convention (what pycocotools uses).
     """
     n_cls = len(class_names)
     gt_by = defaultdict(list)
@@ -66,14 +73,15 @@ def evaluate_voc_map(
                 continue
             g_boxes = np.array([g["bbox"] for g in gl], float)
             db = np.asarray(d["bbox"], float)
+            off = 1.0 if legacy_onepix else 0.0
             ix = np.clip(np.minimum(db[2], g_boxes[:, 2]) -
-                         np.maximum(db[0], g_boxes[:, 0]), 0, None)
+                         np.maximum(db[0], g_boxes[:, 0]) + off, 0, None)
             iy = np.clip(np.minimum(db[3], g_boxes[:, 3]) -
-                         np.maximum(db[1], g_boxes[:, 1]), 0, None)
+                         np.maximum(db[1], g_boxes[:, 1]) + off, 0, None)
             inter = ix * iy
-            union = ((db[2] - db[0]) * (db[3] - db[1])
-                     + (g_boxes[:, 2] - g_boxes[:, 0])
-                     * (g_boxes[:, 3] - g_boxes[:, 1]) - inter)
+            union = ((db[2] - db[0] + off) * (db[3] - db[1] + off)
+                     + (g_boxes[:, 2] - g_boxes[:, 0] + off)
+                     * (g_boxes[:, 3] - g_boxes[:, 1] + off) - inter)
             ious = inter / np.maximum(union, 1e-9)
             gi = int(np.argmax(ious))
             if ious[gi] >= iou_threshold:
