@@ -80,46 +80,45 @@ def make_batch(rng, B=16, M=32, size=640, nc=80):
 
 
 def main():
-    print(f"backend: {jax.default_backend()}")
+    print(f"backend: {jax.default_backend()}", flush=True)
     rng = np.random.default_rng(0)
 
-    run_exact = jax.jit(
-        lambda *a: task_aligned_assigner(*a, exact=True))
-    run_approx = jax.jit(
-        lambda *a: task_aligned_assigner(*a, exact=False))
+    # agreement stats computed ON DEVICE — fetching the raw (B, A, nc)
+    # results through the axon relay D2H takes minutes (the relay degrades
+    # after the first program execution); 7 scalars fetch instantly
+    @jax.jit
+    def compare(ps, pb, anc, gl, gb, gm):
+        ex = task_aligned_assigner(ps, pb, anc, gl, gb, gm, exact=True)
+        ap = task_aligned_assigner(ps, pb, anc, gl, gb, gm, exact=False)
+        fe, fa = ex.fg_mask, ap.fg_mask
+        both = fe & fa
+        same_box = jnp.all(ex.target_bboxes == ap.target_bboxes, axis=-1)
+        same_lbl = ex.target_labels == ap.target_labels
+        return jnp.stack([
+            jnp.asarray(fe.size, jnp.float32),
+            (fe == fa).sum(dtype=jnp.float32),
+            both.sum(dtype=jnp.float32),
+            (fe | fa).sum(dtype=jnp.float32),
+            (same_box & same_lbl & both).sum(dtype=jnp.float32),
+            jnp.abs(ex.target_scores.astype(jnp.float32)
+                    - ap.target_scores.astype(jnp.float32)).sum(),
+            jnp.asarray(ex.target_scores.size, jnp.float32),
+        ])
 
-    tot = {"anchors": 0, "fg_same": 0, "inter": 0, "union": 0,
-           "both_fg": 0, "same_tgt": 0, "l1": 0.0, "l1_n": 0}
     import time
+    tot = np.zeros(7)
     n_trials = int(os.environ.get("TAL_TRIALS", "4"))
     for trial in range(n_trials):
         t0 = time.time()
-        batch = make_batch(rng)
-        ex = jax.device_get(run_exact(*batch))
-        ap = jax.device_get(run_approx(*batch))
+        tot += np.asarray(jax.device_get(compare(*make_batch(rng))))
         print(f"trial {trial}: {time.time() - t0:.1f}s", flush=True)
-        fe = np.asarray(ex.fg_mask, bool)
-        fa = np.asarray(ap.fg_mask, bool)
-        tot["anchors"] += fe.size
-        tot["fg_same"] += int((fe == fa).sum())
-        tot["inter"] += int((fe & fa).sum())
-        tot["union"] += int((fe | fa).sum())
-        both = fe & fa
-        tot["both_fg"] += int(both.sum())
-        same_box = np.all(
-            np.asarray(ex.target_bboxes) == np.asarray(ap.target_bboxes),
-            axis=-1)
-        same_lbl = np.asarray(ex.target_labels) == np.asarray(ap.target_labels)
-        tot["same_tgt"] += int((same_box & same_lbl & both).sum())
-        tot["l1"] += float(np.abs(np.asarray(ex.target_scores, np.float32)
-                                  - np.asarray(ap.target_scores, np.float32)).sum())
-        tot["l1_n"] += ex.target_scores.size
 
-    print(f"fg_mask agreement:     {tot['fg_same'] / tot['anchors']:.6f}")
-    print(f"fg Jaccard:            {tot['inter'] / max(tot['union'], 1):.6f}")
-    print(f"assignment agreement:  {tot['same_tgt'] / max(tot['both_fg'], 1):.6f}"
-          f"   ({tot['both_fg']} anchors fg in both)")
-    print(f"target_scores mean L1: {tot['l1'] / max(tot['l1_n'], 1):.2e}")
+    anchors, fg_same, inter, union, same_tgt, l1, l1_n = tot
+    print(f"fg_mask agreement:     {fg_same / anchors:.6f}")
+    print(f"fg Jaccard:            {inter / max(union, 1):.6f}")
+    print(f"assignment agreement:  {same_tgt / max(inter, 1):.6f}"
+          f"   ({int(inter)} anchors fg in both)")
+    print(f"target_scores mean L1: {l1 / max(l1_n, 1):.2e}")
     os._exit(0)     # axon backend teardown takes ~60s otherwise
 
 

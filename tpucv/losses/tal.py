@@ -14,7 +14,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from tpucv.ops.boxes import bbox_iou
+from tpucv.ops.boxes import pairwise_ciou
 
 
 class TALResult(NamedTuple):
@@ -89,17 +89,18 @@ def task_aligned_assigner(
     metric_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
         else pd_scores.dtype
 
-    # alignment metric (B, M, A)
-    gt_scores = jnp.take_along_axis(
-        pd_scores.astype(metric_dtype).transpose(0, 2, 1),    # (B, nc, A)
-        jnp.clip(gt_labels, 0, nc - 1)[:, :, None], axis=1,
-    )                                                 # (B, M, A)
-    overlaps = bbox_iou(
-        gt_bboxes[:, :, None, :].astype(metric_dtype),
-        pd_bboxes[:, None, :, :].astype(metric_dtype), xywh=False, ciou=True
-    )
-    overlaps = jnp.clip(jnp.squeeze(overlaps, axis=-1)
-                        if overlaps.ndim == 4 else overlaps, 0)
+    # alignment metric (B, M, A). The per-GT class-score pick is a one-hot
+    # contraction over the small nc axis (MXU): the transpose +
+    # take_along_axis gather it replaces materialised a (B, nc, A)
+    # permutation and lowered to serial loads on TPU. Exact: the one-hot
+    # row selects a single element, accumulated in f32 on the MXU.
+    label_onehot = jax.nn.one_hot(
+        jnp.clip(gt_labels, 0, nc - 1), nc, dtype=metric_dtype)   # (B, M, nc)
+    gt_scores = jnp.einsum(
+        "bmn,ban->bma", label_onehot, pd_scores.astype(metric_dtype),
+        preferred_element_type=jnp.float32).astype(metric_dtype)  # (B, M, A)
+    overlaps = jnp.clip(pairwise_ciou(
+        gt_bboxes.astype(metric_dtype), pd_bboxes.astype(metric_dtype)), 0)
     align = (gt_scores**alpha) * (overlaps**beta)
 
     mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes, eps)

@@ -84,6 +84,44 @@ def bbox_iou(
     return iou - (rho2 / c2 + v * alpha)
 
 
+def pairwise_ciou(gt: jax.Array, pd: jax.Array, eps: float = 1e-7) -> jax.Array:
+    """CIoU matrix between (B, M, 4) GTs and (B, A, 4) preds -> (B, M, A).
+
+    Same expression tree as ``bbox_iou(gt[:,:,None], pd[:,None], ciou=True)``
+    (identical numerics), but every per-box quantity — areas, the two arctan
+    aspect terms, the centre sums — is computed at its natural (B, M) /
+    (B, A) shape behind an optimization barrier. Without the barrier XLA
+    fuses the producers into the (B, M, A) consumer loop and evaluates the
+    arctans 2*M*A times per image instead of M+A (measured ~4 ms of a 13 ms
+    TAL forward at B=128, M=32, A=8400 on v5e).
+    """
+    gx1, gy1, gx2, gy2 = (gt[..., i] for i in range(4))    # (B, M)
+    px1, py1, px2, py2 = (pd[..., i] for i in range(4))    # (B, A)
+    gw, gh = gx2 - gx1, gy2 - gy1
+    pw, ph = px2 - px1, py2 - py1
+    (g_area, p_area, g_atan, p_atan, gcx, pcx, gcy, pcy) = \
+        jax.lax.optimization_barrier((
+            gw * gh, pw * ph,
+            jnp.arctan(gw / (gh + eps)), jnp.arctan(pw / (ph + eps)),
+            gx1 + gx2, px1 + px2, gy1 + gy2, py1 + py2))
+
+    gx1, gy1, gx2, gy2 = (v[:, :, None] for v in (gx1, gy1, gx2, gy2))
+    inter = (jnp.clip(jnp.minimum(gx2, px2[:, None]) -
+                      jnp.maximum(gx1, px1[:, None]), 0)
+             * jnp.clip(jnp.minimum(gy2, py2[:, None]) -
+                        jnp.maximum(gy1, py1[:, None]), 0))
+    union = g_area[:, :, None] + p_area[:, None] - inter + eps
+    iou = inter / union
+    cw = jnp.maximum(gx2, px2[:, None]) - jnp.minimum(gx1, px1[:, None])
+    ch = jnp.maximum(gy2, py2[:, None]) - jnp.minimum(gy1, py1[:, None])
+    c2 = cw**2 + ch**2 + eps
+    rho2 = ((pcx[:, None] - gcx[:, :, None]) ** 2
+            + (pcy[:, None] - gcy[:, :, None]) ** 2) / 4
+    v = (4 / jnp.pi**2) * (p_atan[:, None] - g_atan[:, :, None]) ** 2
+    alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
+    return iou - (rho2 / c2 + v * alpha)
+
+
 def dist2bbox(distance: jax.Array, anchor_points: jax.Array,
               xywh: bool = False) -> jax.Array:
     """(l, t, r, b) distances + anchor centres -> boxes
