@@ -79,6 +79,57 @@ def main():
     print(f"=> best-case fwd {128 * total/(ceil*1e12)*1e3:.1f} ms per "
           f"128-image batch; backward ~2x that.")
 
+    whole_step_model(records, total, ceil)
+
+
+def whole_step_model(records, fwd_flops_per_img, conv_ceil_tflops,
+                     B=128, M=32, A=8400, NC=80, HBM_GBS=819.0):
+    """First-order floor for the WHOLE train step (VERDICT r2 #3): conv
+    fwd+bwd on the MXU model above, BN batch-stat traffic, the loss's
+    HBM-bound tensor algebra, and optimizer/EMA state traffic — so 'near
+    ceiling' is a claim about the step, not just the convs.
+
+    Loss model: TAL + BCE + CIoU + DFL are elementwise/reduction chains —
+    bandwidth, not FLOPs. We count the distinct materialised tensors between
+    fusion barriers (reductions, top-k, matmuls force materialisation):
+    TAL holds ~10 (B,M,A) bf16 live tensors (in-gts mask, gt_scores,
+    overlaps, align, topk mask, mask_pos x2, norm-align chain), BCE fwd+bwd
+    reads/writes ~5 (B,A,NC) tensors (logits, targets, bce, dlogits, sigmoid
+    recompute), DFL fwd+bwd ~6 (B,A,64) (logits, log_softmax, one-hots
+    contracted, dlogits), plus the (B,A,4/1) geometry chains (negligible).
+    """
+    bma = B * M * A * 2              # bf16 bytes
+    banc = B * A * NC * 2
+    ba64 = B * A * 64 * 2
+    loss_bytes = 10 * bma + 5 * banc + 6 * ba64
+    t_loss = loss_bytes / (HBM_GBS * 1e9) * 1e3
+
+    # BN batch stats: one extra full read of every BN input for mean/var
+    # plus the normalise pass re-read (eval mode fuses normalise into the
+    # conv epilogue; train mode cannot because stats depend on the whole map)
+    act_bytes = sum(ob * oh * ow * oc * 2
+                    for (_, _, _, _), _, _, (ob, oh, ow, oc), _ in records)
+    t_bn = 2 * act_bytes * B / (HBM_GBS * 1e9) * 1e3
+
+    # conv fwd + bwd (dgrad+wgrad = 2x fwd FLOPs) at the conv ceiling
+    t_fwd = B * fwd_flops_per_img / (conv_ceil_tflops * 1e12) * 1e3
+    t_bwd = 2 * t_fwd
+
+    # optimizer: adam reads g,p,m,v + writes p,m,v; EMA read+write (all f32)
+    n_params = 3_157_200
+    t_opt = 9 * n_params * 4 / (HBM_GBS * 1e9) * 1e3
+
+    tot = t_fwd + t_bwd + t_bn + t_loss + t_opt
+    print(f"\n--- whole-step floor @B={B} (conv MXU model + HBM {HBM_GBS:.0f}"
+          f" GB/s) ---")
+    print(f"conv fwd      {t_fwd:6.1f} ms")
+    print(f"conv bwd      {t_bwd:6.1f} ms")
+    print(f"BN stats      {t_bn:6.1f} ms   ({2 * act_bytes * B / 1e9:.1f} GB)")
+    print(f"loss fwd+bwd  {t_loss:6.1f} ms   ({loss_bytes / 1e9:.1f} GB)")
+    print(f"optimizer+EMA {t_opt:6.1f} ms")
+    print(f"TOTAL FLOOR   {tot:6.1f} ms  -> {B / tot * 1e3:.0f} img/s ceiling"
+          f" (measured: see scripts/analyze_train_step.py)")
+
 
 if __name__ == "__main__":
     main()

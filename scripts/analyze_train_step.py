@@ -1,5 +1,8 @@
 """Decompose the YOLOv8n training step on the real TPU (B=128, 640^2).
 
+NOTE the fence roundtrip through the axon relay costs ~30 ms; n must be
+large enough to amortise it (n=30 -> ~1 ms residual per call).
+
 Times each piece with the pipelined-dispatch + last-scalar-fence pattern
 (block_until_ready is unreliable through the axon relay):
 
@@ -24,7 +27,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timed(fn, args, n=8, fence=None):
+def timed(fn, args, n=30, fence=None):
     out = fn(*args)                    # compile + first exec
     (fence or (lambda o: float(np.asarray(o).ravel()[0])))(out)
     t0 = time.perf_counter()
@@ -94,7 +97,7 @@ def main():
         return l + sum(jnp.sum(jnp.abs(t).astype(jnp.float32))
                        for t in jax.tree_util.tree_leaves(g)) * 0
 
-    print(f"fwd_bwd_model {timed(fwd_bwd_model, (variables, images), n=6):8.2f}"
+    print(f"fwd_bwd_model {timed(fwd_bwd_model, (variables, images), n=15):8.2f}"
           " ms", flush=True)
 
     # ---- loss parts on fixed raw maps
@@ -160,7 +163,7 @@ def main():
         ns, m = step(s, b)
         return m["loss"]
 
-    print(f"full_step     {timed(run_step, (state, batch), n=6):8.2f} ms",
+    print(f"full_step     {timed(run_step, (state, batch), n=15):8.2f} ms",
           flush=True)
     os._exit(0)
 
