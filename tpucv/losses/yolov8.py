@@ -26,22 +26,21 @@ def _df_loss(pred_dist: jax.Array, target: jax.Array) -> jax.Array:
 
     pred_dist: (..., 4, reg_max) logits; target: (..., 4) continuous in
     [0, reg_max-1]. Returns (...,) mean over the 4 sides.
+
+    Same math as the reference's two-sided cross entropy, restructured for
+    the TPU: with wl + wr = 1,
+        -(logp[tl]*wl + logp[tr]*wr) = logsumexp(x) - (x[tl]*wl + x[tr]*wr)
+    and the two weighted one-hot picks are exactly the linear hat
+    sum_j x_j * relu(1 - |t - j|) — one (..., reg_max) pass instead of a
+    log_softmax materialisation plus two one-hot contractions (DFL fwd+bwd
+    was the most expensive loss term at 640^2, see docs/performance.md).
     """
-    tl = jnp.floor(target).astype(jnp.int32)
-    tr = tl + 1
-    wl = tr.astype(pred_dist.dtype) - target
-    wr = 1.0 - wl
-    logp = jax.nn.log_softmax(pred_dist, axis=-1)
     reg_max = pred_dist.shape[-1]
-    # one-hot contractions instead of take_along_axis: elementwise gathers
-    # lower to serial loads on TPU and dominated the loss
-    oh_l = jax.nn.one_hot(jnp.clip(tl, 0, reg_max - 1), reg_max,
-                          dtype=logp.dtype)
-    oh_r = jax.nn.one_hot(jnp.clip(tr, 0, reg_max - 1), reg_max,
-                          dtype=logp.dtype)
-    ll = jnp.sum(logp * oh_l, axis=-1)
-    lr = jnp.sum(logp * oh_r, axis=-1)
-    return -(ll * wl + lr * wr).mean(axis=-1)
+    j = jnp.arange(reg_max, dtype=target.dtype)
+    hat = jnp.maximum(1.0 - jnp.abs(target[..., None] - j), 0.0)
+    pick = jnp.sum(pred_dist * hat, axis=-1)
+    lse = jax.nn.logsumexp(pred_dist, axis=-1)
+    return (lse - pick).mean(axis=-1)
 
 
 def yolov8_loss(
