@@ -131,27 +131,31 @@ def task_aligned_assigner(
         # (docs/performance.md records the numbers).
         topk_vals, _ = jax.lax.approx_max_k(align, k, recall_target=0.95)
         kth = topk_vals[..., -1:]                               # (B, M, 1)
-        mask_topk = (align >= jnp.maximum(kth, eps)) & (align > eps)
+        # align > eps already implies valid (align was zeroed elsewhere),
+        # so no further intersection is needed on this path
+        mask_pos = ((align >= jnp.maximum(kth, eps))
+                    & (align > eps)).astype(align.dtype)
     else:
         # exact path (CPU tests / golden parity): scatter ones at the top-k
         # indices, reproducing the reference's tie behaviour (lax.top_k and
-        # torch.topk both break ties by lowest index).
+        # torch.topk both break ties by lowest index). Zero-metric anchors
+        # CAN be tie-selected here, so the valid intersection stays.
         _, topk_idxs = jax.lax.top_k(align, k)                  # (B, M, k)
         cnt = jax.nn.one_hot(topk_idxs, A, dtype=align.dtype).sum(axis=2)
-        mask_topk = cnt > 0
-    mask_pos = (mask_topk & valid).astype(align.dtype)
+        mask_pos = ((cnt > 0) & valid).astype(align.dtype)
 
     target_gt_idx, fg_mask, mask_pos = select_highest_overlaps(
         mask_pos, overlaps, M
     )
 
-    # gather targets (B, A) — as one-hot contractions over the small M axis
-    # (MXU-friendly; per-element gathers are serial on TPU)
-    sel = jax.nn.one_hot(target_gt_idx, M, dtype=gt_bboxes.dtype)  # (B, A, M)
-    tl = jnp.einsum("bam,bm->ba", sel, gt_labels.astype(sel.dtype))
-    tl = tl.astype(jnp.int32)
-    tb = jnp.einsum("bam,bmc->bac", sel, gt_bboxes)
-    tl = jnp.where(fg_mask, tl, 0)
+    # gather targets (B, A) — contractions over the small M axis
+    # (MXU-friendly; per-element gathers are serial on TPU). After the
+    # best-claim select, mask_pos IS the (B, M, A) one-hot selector (at
+    # most one nonzero per anchor column), so no separate one_hot build;
+    # non-fg anchors contract to 0 targets (masked out downstream anyway).
+    tl = jnp.einsum("bma,bm->ba", mask_pos,
+                    gt_labels.astype(jnp.float32)).astype(jnp.int32)
+    tb = jnp.einsum("bma,bmc->bac", mask_pos, gt_bboxes)
 
     # normalised target scores (reference bboxes.py:334-345)
     align = align * mask_pos
