@@ -28,6 +28,26 @@ def export_stablehlo(fn, *example_args) -> str:
     return jax.jit(fn).lower(*example_args).as_text()
 
 
+def export_serialized(fn, *example_args) -> bytes:
+    """Versioned, portable serving artifact: serialized StableHLO with
+    calling convention (jax.export). The bytes can be shipped to a serving
+    host and rehydrated with ``load_serialized`` (or consumed by any
+    StableHLO runtime) without the model-building Python code — the working
+    analogue of the reference's empty onnx/tensorrt deploy stubs."""
+    from jax import export as jexport
+
+    exported = jexport.export(jax.jit(fn))(*example_args)
+    return bytes(exported.serialize())
+
+
+def load_serialized(data: bytes):
+    """Rehydrate an ``export_serialized`` artifact into a callable."""
+    from jax import export as jexport
+
+    exported = jexport.deserialize(data)
+    return lambda *args: exported.call(*args)
+
+
 def fuse_repconv_params(dense_k, dense_bn, one_k, one_bn, id_bn=None):
     """Fold RepConv's 3x3 + 1x1 (+identity) BN branches into a single 3x3
     conv (kernel HWIO, bias) — deploy-time reparameterisation, parity with
