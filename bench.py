@@ -28,9 +28,20 @@ path (``core/trainer/yolo8_train.py``).
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _log(msg: str):
+    """Progress to stderr when BENCH_VERBOSE=1 (diagnosing relay stalls)."""
+    if os.environ.get("BENCH_VERBOSE"):
+        print(f"[bench +{time.perf_counter() - _T0:6.1f}s] {msg}",
+              file=sys.stderr, flush=True)
 
 
 def bench_train_step():
@@ -45,6 +56,7 @@ def bench_train_step():
     from tpucv.train.state import TrainState, make_train_step
 
     B, S, M = 128, 640, 32
+    _log("train: init")
     model = get_yolo8_n(dtype=jnp.bfloat16)
     variables = init_on_cpu(model, (1, S, S, 3), jnp.bfloat16)
 
@@ -59,18 +71,24 @@ def bench_train_step():
         variables["params"], variables["batch_stats"], tx, use_ema=True)
     train_step = make_train_step(model.apply, loss_fn, tx, ema_decay=0.9999)
 
-    rng = np.random.default_rng(0)
+    # batch generated ON DEVICE: by this point the inference benchmark has
+    # executed programs, so the relay's H2D is in its degraded state and a
+    # 629 MB image upload can take minutes (observed 10+ min on a bad day) —
+    # an environment artifact the train number should not depend on
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
     batch = {
-        "images": jax.device_put(
-            rng.random((B, S, S, 3), dtype=np.float32)).astype(jnp.bfloat16),
-        "gt_labels": jax.device_put(rng.integers(0, 80, (B, M)).astype(np.int32)),
-        "gt_bboxes": jax.device_put((rng.random((B, M, 4)) * 300).astype(np.float32)),
-        "gt_mask": jax.device_put(np.ones((B, M), bool)),
+        "images": jax.random.uniform(k1, (B, S, S, 3), jnp.bfloat16),
+        "gt_labels": jax.random.randint(k2, (B, M), 0, 80, jnp.int32),
+        "gt_bboxes": jax.random.uniform(k3, (B, M, 4), jnp.float32) * 300,
+        "gt_mask": jnp.ones((B, M), bool),
     }
     state = jax.device_put(state)
+    _log("train: compiling step")
     state, m = train_step(state, batch)        # compile + first exec
     float(m["loss"])
-    n = 12
+    _log("train: timing")
+    n = 30    # fence roundtrip ~30 ms amortises to ~1 ms/call at n=30
     t0 = time.perf_counter()
     for _ in range(n):
         state, m = train_step(state, batch)
@@ -107,10 +125,13 @@ def main():
     from tpucv.models import get_yolo8_n
     from tpucv.ops.preprocess import letterbox_static, normalize_images
 
+    _log("main: start")
     batch = 128
     H, W, S = 480, 640, 640   # the standard COCO val2017 image shape
     model = get_yolo8_n(dtype=jnp.bfloat16)
+    _log("main: init_on_cpu")
     variables = init_on_cpu(model, (1, S, S, 3), jnp.bfloat16)
+    _log("main: init done")
 
     @jax.jit
     def infer(v, raw_u8):
@@ -135,12 +156,14 @@ def main():
     # axon relay degrades H2D ~60x permanently after the first program runs
     # (1.2 GB/s -> ~0.02 GB/s), so h2d_img_per_sec below reflects that
     # relay pathology, not the framework or real v5e PCIe (~16 GB/s)
+    _log("main: fresh H2D measure")
     t0 = time.perf_counter()
     jax.device_put(host_batches[0]).block_until_ready()
     bw = host_batches[0].nbytes / (time.perf_counter() - t0) / 1e9
     dev_batches = [jax.device_put(b) for b in host_batches]
-
+    _log("main: compiling infer")
     float(infer(variables, dev_batches[0]))            # compile + first exec
+    _log("main: infer compiled")
 
     # 1) chip-resident e2e (headline)
     n_iters = 40
@@ -148,6 +171,7 @@ def main():
     outs = [infer(variables, dev_batches[i % 4]) for i in range(n_iters)]
     float(outs[-1])                                    # fence
     ips = batch * n_iters / (time.perf_counter() - t0)
+    _log("main: resident loop done; h2d loop")
 
     # 2) H2D-included e2e through the relay (post-execution relay state)
     n2 = 2
@@ -156,6 +180,7 @@ def main():
             for i in range(n2)]
     float(outs[-1])
     ips_h2d = batch * n2 / (time.perf_counter() - t0)
+    _log("main: h2d loop done")
 
     train_ips, train_ms = bench_train_step()
 

@@ -37,7 +37,12 @@ from tpucv.ops.anchors import make_anchors
 def make_batch(rng, B=16, M=32, size=640, nc=80):
     strides = (8, 16, 32)
     feats = [(size // s, size // s) for s in strides]
-    anc, _ = make_anchors(feats, strides)
+    # PIXEL-space anchor centres, exactly as the production caller passes
+    # them (yolov8_loss: anchor_points * stride_arr) — make_anchors returns
+    # feature-grid units, which would collapse all FPN levels into an
+    # 80x80-unit corner of the pixel-space GT boxes (code-review r3 fix)
+    grid_anc, stride_arr = make_anchors(feats, strides)
+    anc = grid_anc * stride_arr
     A = anc.shape[0]
 
     gt_boxes = np.zeros((B, M, 4), np.float32)

@@ -228,8 +228,8 @@ class DetectionAlgorithm:
                 # reference protocol (core/metrics/mAP.py:352-386)
                 boxes, labels, difficult = eval_record(i)
             else:
-                (_, boxes, labels), difficult = index[i], np.zeros(
-                    len(index[i][1]), bool)
+                _, boxes, labels = index[i]
+                difficult = np.zeros(len(boxes), bool)
             for b, l, dif in zip(boxes, labels, difficult):
                 gts.append({"image_id": i, "class_id": int(l),
                             "bbox": np.asarray(b).tolist(),

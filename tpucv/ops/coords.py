@@ -129,6 +129,8 @@ def segment2box(segment, width=640, height=640):
 
 def segments2boxes(segments):
     """List of polygons -> (N, 4) cxcywh boxes (ultralytics_ops.py:502-517)."""
+    from tpucv.ops.boxes import xyxy2xywh
+
     boxes = []
     for s in segments:
         s = np.asarray(s, np.float32)
@@ -137,18 +139,7 @@ def segments2boxes(segments):
                           s[:, 0].max(), s[:, 1].max()])
         else:
             boxes.append([0.0, 0.0, 0.0, 0.0])
-    boxes = np.asarray(boxes, np.float32)
-    return np.asarray(xyxy2xywh_np(boxes))
-
-
-def xyxy2xywh_np(x):
-    x = np.asarray(x, np.float32)
-    y = x.copy()
-    y[..., 0] = (x[..., 0] + x[..., 2]) / 2
-    y[..., 1] = (x[..., 1] + x[..., 3]) / 2
-    y[..., 2] = x[..., 2] - x[..., 0]
-    y[..., 3] = x[..., 3] - x[..., 1]
-    return y
+    return np.asarray(xyxy2xywh(np.asarray(boxes, np.float32)))
 
 
 def resample_segments(segments, n=1000):
