@@ -29,6 +29,25 @@ def main():
     if args.ckpt:
         variables = CheckPoint.load_pure(args.ckpt, dict(variables))
 
+    if cfg.dataset.name == "folder":        # classification (vit_cls)
+        from tpucv.data.classification_dataset import (
+            ImageFolderIndex, SyntheticClsIndex)
+        root = os.environ.get("TPUCV_CLS_ROOT", "")
+        if root and os.path.isdir(os.path.join(root, args.subset)):
+            index = ImageFolderIndex(root, args.subset)
+            if len(index.classes) != cfg.num_classes:
+                raise SystemExit(
+                    f"folder tree has {len(index.classes)} classes but the "
+                    f"config (and checkpoint) use {cfg.num_classes}; set "
+                    f"VitClsConfig.n_classes to match the dataset")
+            algo.class_names = list(index.classes)
+        else:
+            print(f"TPUCV_CLS_ROOT {root!r} not found — synthetic data")
+            index = SyntheticClsIndex(
+                32, cfg.dataset.input_size, cfg.num_classes, seed=1)
+        algo.evaluate(variables, index, args.batch_size)
+        return
+
     ds = get_dataset_cfg(cfg.dataset.name)
     if cfg.dataset.name == "coco":
         from tpucv.data.coco import COCOIndex

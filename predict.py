@@ -38,8 +38,15 @@ def main():
     for path in args.src:
         result = algo.predict(variables, path, infer_fn=infer_fn,
                               save_dir=args.dst)
-        print(f"{path}: {len(result['boxes'])} objects "
-              f"-> {result['saved']}")
+        if "boxes" in result and len(result["boxes"]):
+            summary = f"{len(result['boxes'])} objects"
+        elif "labels" in result:        # classification: top-k names
+            summary = "top: " + ", ".join(result["labels"][:3])
+        elif "class_map" in result:     # segmentation
+            summary = "segmentation map"
+        else:
+            summary = "no detections"
+        print(f"{path}: {summary} -> {result.get('saved')}")
     print(f"total time: {time.time() - t0:.2f}s")
 
 

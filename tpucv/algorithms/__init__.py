@@ -7,3 +7,4 @@ from tpucv.algorithms.ssd import Ssd  # noqa: F401
 from tpucv.algorithms.centernet import CenterNetA  # noqa: F401
 from tpucv.algorithms.segmentation_2d import DeeplabV3PlusA  # noqa: F401
 from tpucv.algorithms.yolov7 import YOLOv7 as Yolo7A  # noqa: F401
+from tpucv.algorithms.classification import VitClassification  # noqa: F401

@@ -1,6 +1,11 @@
-"""Model-name whitelist (reference ``check.py:1-14``)."""
+"""Model-name whitelist (reference ``check.py:1-14``).
 
-MODELS = ["yolo7", "yolo8_det", "ssd", "centernet", "deeplabv3plus"]
+``vit_cls`` extends the reference's five names: the reference stubs ViT
+with an empty file and has no classification task; tpucv registers a full
+pipeline for it."""
+
+MODELS = ["yolo7", "yolo8_det", "ssd", "centernet", "deeplabv3plus",
+          "vit_cls"]
 
 
 def check_model_name(name: str) -> None:

@@ -293,3 +293,43 @@ class Yolo3Config(BaseConfig):
     @property
     def num_classes(self) -> int:
         return get_dataset_cfg(self.dataset.name)["num_classes"]
+
+
+# --------------------------------------------------------------- ViT (cls)
+@dataclass
+class VitClsArch:
+    patch: int = 16
+    dim: int = 384
+    depth: int = 12
+    heads: int = 6
+
+
+@dataclass
+class VitClsLoss:
+    label_smoothing: float = 0.1
+
+
+@config_registry("vit_cls")
+@dataclass
+class VitClsConfig(BaseConfig):
+    """Image classification with the ViT the reference only stubbed
+    (``core/models/vit.py`` is 0 LoC — tpucv promotes it to a full
+    registered family: train/predict/evaluate with top-1/top-5).
+
+    Dataset: torchvision-style folder-per-class tree at
+    ``TPUCV_CLS_ROOT`` (``root/{train,val}/<class>/*.jpg``); synthetic
+    fallback otherwise."""
+
+    arch: VitClsArch = field(default_factory=VitClsArch)
+    loss: VitClsLoss = field(default_factory=VitClsLoss)
+    dataset: DatasetCfg = field(default_factory=lambda: DatasetCfg(
+        name="folder", input_size=224, max_num_boxes=0))
+    n_classes: int = 10          # overridden by the folder tree when present
+
+    @property
+    def model_name(self) -> str:
+        return "vit_cls"
+
+    @property
+    def num_classes(self) -> int:
+        return self.n_classes

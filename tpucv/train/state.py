@@ -69,7 +69,9 @@ def make_train_step(
                 rngs={"dropout": dropout_rng},
             )
             loss, metrics = loss_fn(raw, batch)
-            return loss, (metrics, updates["batch_stats"])
+            # models without BN (ViT: LayerNorm only) return no batch_stats
+            return loss, (metrics, updates.get("batch_stats",
+                                               state.batch_stats))
 
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(
             compute, has_aux=True)(state.params)

@@ -4,3 +4,4 @@ from tpucv.trainer.ssd_train import SsdTrainer  # noqa: F401
 from tpucv.trainer.centernet_train import CenterNetTrainer  # noqa: F401
 from tpucv.trainer.segmentation_trainer import DeeplabV3PlusTrainer  # noqa: F401
 from tpucv.trainer.yolo7_train import Yolo7Trainer  # noqa: F401
+from tpucv.trainer.vit_train import VitClsTrainer  # noqa: F401
