@@ -72,6 +72,24 @@ def test_in_training_map_logged(tmp_path):
         assert events and any(os.path.getsize(e) > 0 for e in events)
 
 
+def test_trainer_smoke_with_zero_opt(tmp_path):
+    """Production trainer with ZeRO-1 optimizer-state sharding: the step
+    runs, and at least one adam moment is sharded over the data axis."""
+    from jax.sharding import PartitionSpec as P
+    from tpucv.builder import export_from_registry
+    cfg, _, trainer_cls = export_from_registry("yolo8_det")
+    cfg = _shrink(cfg, "yolo8_det")
+    cfg.train.zero_opt = True
+    cfg.train.save_path = str(tmp_path / "saves")
+    cfg.log.root = str(tmp_path / "log")
+    trainer = trainer_cls(cfg)
+    state = trainer.train(max_steps=1)
+    assert int(state.step) == 1
+    sharded = [l for l in jax.tree_util.tree_leaves(state.opt_state)
+               if hasattr(l, "sharding") and l.sharding.spec != P()]
+    assert sharded, "zero_opt produced no sharded optimizer moments"
+
+
 def test_trainer_smoke_with_model_axis(tmp_path):
     """Production trainer on a (data, model=2) mesh: channel-sharded params
     through a real registered model's train step (VERDICT r2 #4)."""

@@ -113,6 +113,62 @@ def test_channel_sharded_grads_match_single_device():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_zero_opt_sharding_matches_replicated():
+    """ZeRO-1 optimizer-state sharding: adam moments sharded over the data
+    axis produce bit-equivalent training to replicated moments, and the
+    moments actually END UP sharded (the constraint holds across steps)."""
+    from flax import linen as nn
+    from jax.sharding import PartitionSpec as P
+    from tpucv.train.state import TrainState, make_train_step
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Dense(256, name="d1")(x)   # 32*256 moments > min_size
+            x = nn.relu(x)
+            nn.BatchNorm(use_running_average=not train, name="bn")(x)
+            return nn.Dense(8, name="d2")(x)
+
+    model = Net()
+    x = np.random.default_rng(0).normal(size=(16, 32)).astype(np.float32)
+    y = np.random.default_rng(1).normal(size=(16, 8)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss_fn(raw, batch):
+        return jnp.mean((raw - batch["y"]) ** 2), {}
+
+    tx = optax.adam(0.05)
+
+    def run(mesh, zero_opt):
+        with mesh:
+            params = pmesh.shard_params(variables["params"], mesh)
+            state = TrainState.create(params, variables["batch_stats"], tx)
+            plan = pmesh.plan_state_shardings(state, mesh, zero_opt)
+            state = jax.tree_util.tree_map(jax.device_put, state, plan)
+            step = make_train_step(model.apply, loss_fn, tx, donate=False,
+                                   state_sharding=plan)
+            batch = pmesh.shard_batch({"images": x, "y": y}, mesh)
+            for _ in range(3):
+                state, metrics = step(state, batch)
+            return state, float(metrics["loss"])
+
+    mesh = pmesh.create_mesh(8, 1)
+    s_zero, l_zero = run(mesh, zero_opt=True)
+    s_rep, l_rep = run(mesh, zero_opt=False)
+    assert abs(l_zero - l_rep) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(s_zero.params),
+                    jax.tree_util.tree_leaves(s_rep.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    # at least the d1 kernel moments must END UP data-sharded
+    sharded_specs = [
+        l.sharding.spec for l in jax.tree_util.tree_leaves(s_zero.opt_state)
+        if hasattr(l, "sharding") and l.sharding.spec != P()]
+    assert sharded_specs, "no optimizer moment ended up ZeRO-sharded"
+    assert all("data" in [ax for ax in spec if ax is not None]
+               for spec in sharded_specs)
+
+
 def test_warmup_multistep_schedule_values():
     sched = warmup_multistep(1.0, 10, [100, 200], 0.1)
     assert abs(float(sched(0)) - 0.1) < 1e-6         # (0+1)/10

@@ -41,6 +41,10 @@ class TrainCfg:
     # largest conv kernels (tpucv/parallel/mesh.py param_sharding_rule) —
     # useful for the l/x scales when replicated params+opt state crowd HBM
     n_model: int = 1
+    # ZeRO-1: shard adam moments over the data axis (the largest replicated
+    # training state, 2x params in f32) — per-chip optimizer HBM drops
+    # ~n_data-fold; XLA inserts the reduce-scatter/all-gather pair
+    zero_opt: bool = False
 
 
 @dataclass

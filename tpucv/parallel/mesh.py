@@ -74,6 +74,63 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     )
 
 
+def opt_state_sharding_rule(leaf: jax.Array, mesh: Mesh,
+                            min_size: int = 1 << 12) -> NamedSharding:
+    """ZeRO-1: shard an optimizer-moment leaf over the DATA axis.
+
+    Adam's m/v are exact param copies and the largest replicated state in
+    DP training (2x params in f32); sharding them over the data axis cuts
+    per-chip optimizer HBM ~n_data-fold. The sharding axis is semantically
+    free (the update is elementwise), so pick the largest dim divisible by
+    n_data — for conv kernels that is the trailing C_out, for biases dim 0.
+    XLA turns the sharded update + replicated-params write into a
+    reduce-scatter / all-gather pair on ICI (the ZeRO-1 communication
+    pattern) via sharding propagation — no hand-written collectives.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    if n_data > 1 and leaf.ndim >= 1 and leaf.size >= min_size:
+        # prefer the last divisible dim (channels-last layouts)
+        for ax in range(leaf.ndim - 1, -1, -1):
+            if leaf.shape[ax] % n_data == 0:
+                spec = [None] * leaf.ndim
+                spec[ax] = DATA_AXIS
+                return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
+def plan_state_shardings(state: Any, mesh: Mesh,
+                         zero_opt: bool = False) -> Any:
+    """NamedSharding pytree matching a TrainState: params/batch_stats/EMA
+    via ``param_sharding_rule`` (+replication), opt_state via
+    ``opt_state_sharding_rule`` when zero_opt, else replicated. Used both
+    to place the initial state and as the train step's output constraint
+    (so XLA keeps the layout stable across steps instead of resharding)."""
+    def for_params(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, x: param_sharding_rule(p, x, mesh), tree)
+
+    def for_opt(tree):
+        rule = (lambda x: opt_state_sharding_rule(x, mesh)) if zero_opt \
+            else (lambda x: replicated(mesh))
+        return jax.tree_util.tree_map(rule, tree)
+
+    rep = replicated(mesh)
+    return state.replace(
+        step=rep,
+        params=for_params(state.params),
+        batch_stats=jax.tree_util.tree_map(lambda x: rep, state.batch_stats),
+        opt_state=for_opt(state.opt_state),
+        ema_params=None if state.ema_params is None
+        else for_params(state.ema_params),
+    )
+
+
+def shard_state(state: Any, mesh: Mesh, zero_opt: bool = False) -> Any:
+    """device_put a TrainState according to ``plan_state_shardings``."""
+    plan = plan_state_shardings(state, mesh, zero_opt)
+    return jax.tree_util.tree_map(jax.device_put, state, plan)
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Put a host batch onto the mesh, sharded along the leading axis."""
     sh = batch_sharding(mesh)

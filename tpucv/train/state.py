@@ -51,12 +51,17 @@ def make_train_step(
     tx: optax.GradientTransformation,
     ema_decay: float = 0.0,
     donate: bool = True,
+    state_sharding=None,
 ):
     """Build a jitted train step.
 
     ``apply_fn(variables, images, train=True, mutable=["batch_stats"])`` must
     return (raw_outputs, {"batch_stats": ...}).
     ``loss_fn(raw_outputs, batch)`` returns (scalar_loss, metrics).
+    ``state_sharding``: optional TrainState-shaped pytree of NamedShardings
+    (see parallel.mesh.plan_state_shardings) constraining the OUTPUT state —
+    keeps e.g. ZeRO-sharded optimizer moments in their layout across steps
+    instead of letting propagation reshard them.
     """
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
@@ -86,6 +91,9 @@ def make_train_step(
             step=state.step + 1, params=new_params, batch_stats=new_bs,
             opt_state=new_opt, ema_params=new_ema,
         )
+        if state_sharding is not None:
+            new_state = jax.tree_util.tree_map(
+                jax.lax.with_sharding_constraint, new_state, state_sharding)
         metrics = dict(metrics)
         metrics["loss"] = loss
         return new_state, metrics

@@ -203,18 +203,23 @@ class BaseTrainer:
             state = TrainState.create(
                 params, batch_stats, self.tx,
                 use_ema=cfg.optimizer.ema_decay > 0)
+            zero_opt = getattr(cfg.train, "zero_opt", False)
+            plan = pmesh.plan_state_shardings(state, self.mesh, zero_opt)
+            state = jax.tree_util.tree_map(jax.device_put, state, plan)
 
             ckpt_dir = cfg.train.save_path
             start_epoch = 0
             if cfg.train.resume_training and cfg.train.last_epoch >= 0:
                 path = self._ckpt_path(cfg.train.last_epoch)
                 state = CheckPoint.load(path, state)
+                state = jax.tree_util.tree_map(jax.device_put, state, plan)
                 start_epoch = cfg.train.last_epoch + 1
                 self.logger.info(f"resumed from {path}")
 
             train_step = make_train_step(
                 self.model.apply, self.loss_fn, self.tx,
-                ema_decay=cfg.optimizer.ema_decay)
+                ema_decay=cfg.optimizer.ema_decay,
+                state_sharding=plan)
 
             self.logger.info(f"config: {cfg}")
             global_step = start_epoch * len(self.train_loader)
