@@ -169,6 +169,78 @@ def test_zero_opt_sharding_matches_replicated():
                for spec in sharded_specs)
 
 
+def test_grad_accum_matches_full_batch():
+    """G sequential micro-batches with averaged grads == one full-batch
+    step for a mean loss (no BN: batch stats make accumulation
+    intentionally sequential-semantics there)."""
+    from flax import linen as nn
+    from tpucv.train.state import TrainState, make_train_step
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Dense(32, name="d1")(x)
+            x = nn.relu(x)
+            return nn.Dense(4, name="d2")(x)
+
+    model = Net()
+    x = np.random.default_rng(0).normal(size=(8, 16)).astype(np.float32)
+    y = np.random.default_rng(1).normal(size=(8, 4)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss_fn(raw, batch):
+        return jnp.mean((raw - batch["y"]) ** 2), {}
+
+    tx = optax.sgd(0.1)
+    batch = {"images": jnp.asarray(x), "y": jnp.asarray(y)}
+
+    def run(accum):
+        state = TrainState.create(variables["params"], {}, tx)
+        step = make_train_step(model.apply, loss_fn, tx, donate=False,
+                               grad_accum=accum)
+        state, metrics = step(state, batch)
+        return jax.device_get(state.params), float(metrics["loss"])
+
+    p1, l1 = run(1)
+    p4, l4 = run(4)
+    assert abs(l1 - l4) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p4)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_grad_accum_with_bn_trainer_smoke(tmp_path):
+    """grad_accum through the production trainer on a BN model: runs and
+    stays finite (stats thread sequentially through the micro-steps)."""
+    from flax import linen as nn
+    from tpucv.train.state import TrainState, make_train_step
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Dense(16, name="d1")(x)
+            nn.BatchNorm(use_running_average=not train, name="bn")(x)
+            return nn.Dense(2, name="d2")(x)
+
+    model = Net()
+    x = np.random.default_rng(0).normal(size=(8, 8)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss_fn(raw, batch):
+        return jnp.mean(raw ** 2), {}
+
+    tx = optax.sgd(0.01)
+    state = TrainState.create(variables["params"],
+                              variables["batch_stats"], tx)
+    step = make_train_step(model.apply, loss_fn, tx, donate=False,
+                           grad_accum=2)
+    state, metrics = step(state, {"images": jnp.asarray(x)})
+    assert np.isfinite(float(metrics["loss"]))
+    # running stats moved off init (both micro-steps applied)
+    mean = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    assert float(jnp.abs(np.asarray(mean)).sum()) > 0
+
+
 def test_warmup_multistep_schedule_values():
     sched = warmup_multistep(1.0, 10, [100, 200], 0.1)
     assert abs(float(sched(0)) - 0.1) < 1e-6         # (0+1)/10

@@ -45,6 +45,10 @@ class TrainCfg:
     # training state, 2x params in f32) — per-chip optimizer HBM drops
     # ~n_data-fold; XLA inserts the reduce-scatter/all-gather pair
     zero_opt: bool = False
+    # gradient accumulation: split each batch into G sequential micro-
+    # batches inside the jitted step (activation memory / G at the same
+    # effective batch); batch_size must be divisible by G
+    grad_accum: int = 1
 
 
 @dataclass

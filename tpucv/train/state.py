@@ -52,6 +52,7 @@ def make_train_step(
     ema_decay: float = 0.0,
     donate: bool = True,
     state_sharding=None,
+    grad_accum: int = 1,
 ):
     """Build a jitted train step.
 
@@ -62,24 +63,55 @@ def make_train_step(
     (see parallel.mesh.plan_state_shardings) constraining the OUTPUT state —
     keeps e.g. ZeRO-sharded optimizer moments in their layout across steps
     instead of letting propagation reshard them.
+    ``grad_accum``: G > 1 splits the batch into G sequential micro-batches
+    (lax.scan), averaging gradients/metrics before the single optimizer
+    update — activation memory drops ~G-fold at the same effective batch.
+    Batch-stat models thread their stats through the micro-steps (same
+    semantics as torch accumulation loops).
     """
+
+    def _compute_factory(rng):
+        def compute(params, bs, mb):
+            raw, updates = apply_fn(
+                {"params": params, "batch_stats": bs},
+                mb["images"], train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            loss, metrics = loss_fn(raw, mb)
+            # models without BN (ViT: LayerNorm only) return no batch_stats
+            return loss, (metrics, updates.get("batch_stats", bs))
+        return compute
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
         dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        compute = _compute_factory(dropout_rng)
 
-        def compute(params):
-            raw, updates = apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["images"], train=True, mutable=["batch_stats"],
-                rngs={"dropout": dropout_rng},
-            )
-            loss, metrics = loss_fn(raw, batch)
-            # models without BN (ViT: LayerNorm only) return no batch_stats
-            return loss, (metrics, updates.get("batch_stats",
-                                               state.batch_stats))
+        if grad_accum <= 1:
+            (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+                compute, has_aux=True)(
+                state.params, state.batch_stats, batch)
+        else:
+            G = grad_accum
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((G, x.shape[0] // G) + x.shape[1:]),
+                batch)
 
-        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
-            compute, has_aux=True)(state.params)
+            def body(carry, mb_idx):
+                g_acc, bs = carry
+                mb, idx = mb_idx
+                c = _compute_factory(jax.random.fold_in(dropout_rng, idx))
+                (loss, (metrics, new_bs)), g = jax.value_and_grad(
+                    c, has_aux=True)(state.params, bs, mb)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, new_bs), (loss, metrics)
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (g_sum, new_bs), (losses, metricss) = jax.lax.scan(
+                body, (zeros, state.batch_stats),
+                (micro, jnp.arange(G)))
+            grads = jax.tree_util.tree_map(lambda g: g / G, g_sum)
+            loss = losses.mean()
+            metrics = jax.tree_util.tree_map(lambda m: m.mean(), metricss)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params

@@ -216,10 +216,15 @@ class BaseTrainer:
                 start_epoch = cfg.train.last_epoch + 1
                 self.logger.info(f"resumed from {path}")
 
+            accum = max(1, getattr(cfg.train, "grad_accum", 1))
+            if cfg.train.batch_size % accum:
+                raise ValueError(
+                    f"train.grad_accum={accum} must divide "
+                    f"batch_size={cfg.train.batch_size}")
             train_step = make_train_step(
                 self.model.apply, self.loss_fn, self.tx,
                 ema_decay=cfg.optimizer.ema_decay,
-                state_sharding=plan)
+                state_sharding=plan, grad_accum=accum)
 
             self.logger.info(f"config: {cfg}")
             global_step = start_epoch * len(self.train_loader)
