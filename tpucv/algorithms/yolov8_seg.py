@@ -1,0 +1,128 @@
+"""YOLOv8-seg algorithm — instance segmentation on the golden-verified
+YOLOv8 stack (no reference counterpart: the torch repo has no instance-seg
+task). Inherits the batched device-resident eval harness, so bbox mAP on
+COCO/VOC works unchanged; predict adds per-detection masks + overlay.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpucv.algorithms.base import DetectionAlgorithm
+from tpucv.decode.yolov8_seg import decode_seg
+from tpucv.losses.yolov8_seg import yolov8_seg_loss
+from tpucv.models.yolov8 import Yolo8
+from tpucv.ops.preprocess import normalize_images
+from tpucv.registry import model_registry
+
+
+@model_registry("yolo8_seg")
+class YOLOv8Seg(DetectionAlgorithm):
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.nc = cfg.num_classes
+
+    def build_model(self) -> Yolo8:
+        a = self.cfg.arch
+        return Yolo8(scale=a.model_type, nc=self.nc, reg_max=a.reg_max,
+                     head="segment", n_masks=a.n_masks, dtype=self.dtype)
+
+    def build_loss(self):
+        l, a = self.cfg.loss, self.cfg.arch
+
+        def loss_fn(raw, batch):
+            return yolov8_seg_loss(
+                raw, batch["gt_labels"], batch["gt_bboxes"],
+                batch["gt_mask"], batch["gt_inst_masks"],
+                nc=self.nc, reg_max=a.reg_max, strides=a.strides,
+                box_gain=l.box_gain, cls_gain=l.cls_gain,
+                dfl_gain=l.dfl_gain, mask_gain=l.mask_gain,
+                tal_topk=l.tal_topk, mask_topk=l.mask_topk)
+
+        return loss_fn
+
+    def _decode_args(self, conf_threshold):
+        d = self.cfg.decode
+        conf = d.conf_threshold if conf_threshold is None else conf_threshold
+        topk = d.pre_nms_topk if conf < 0.01 else min(d.pre_nms_topk, 1024)
+        return dict(nc=self.nc, reg_max=self.cfg.arch.reg_max,
+                    strides=self.cfg.arch.strides, conf_threshold=conf,
+                    iou_threshold=d.iou_threshold, max_det=d.max_det,
+                    pre_nms_topk=topk)
+
+    def make_infer_fn(self, model=None, conf_threshold: Optional[float] = None):
+        """Boxes-only contract for the shared eval harness."""
+        model = model or self.build_model()
+        kw = self._decode_args(conf_threshold)
+
+        @jax.jit
+        def infer(variables, images_u8):
+            x = normalize_images(images_u8, self.dtype)
+            raw = model.apply(variables, x)
+            return decode_seg(raw, **kw)[:4]
+
+        return infer
+
+    def make_seg_infer_fn(self, model=None,
+                          conf_threshold: Optional[float] = None):
+        """Full contract: (+ mask coefficients, prototypes)."""
+        model = model or self.build_model()
+        kw = self._decode_args(conf_threshold)
+
+        @jax.jit
+        def infer(variables, images_u8):
+            x = normalize_images(images_u8, self.dtype)
+            raw = model.apply(variables, x)
+            return decode_seg(raw, **kw)
+
+        return infer
+
+    def predict(self, variables, image_path: str, infer_fn=None,
+                save_dir: Optional[str] = "detect_results"):
+        import cv2
+        from tpucv.ops.masks import process_mask
+        from tpucv.utils.image_process import (
+            letter_box, read_image, reverse_letter_box)
+        from tpucv.utils.visualize import show_detection_results
+
+        infer_fn = infer_fn or self.make_seg_infer_fn()
+        img = read_image(image_path) if isinstance(image_path, str) \
+            else image_path
+        s = self.input_size
+        canvas, scale, pad = letter_box(img, (s, s))
+        boxes, scores, classes, valid, coefs, protos = jax.device_get(
+            infer_fn(variables, jnp.asarray(canvas[None])))
+        v = np.asarray(valid[0])
+        boxes_c = np.asarray(boxes[0])          # canvas pixels
+        masks = np.asarray(jax.device_get(process_mask(
+            jnp.asarray(protos[0]), jnp.asarray(coefs[0]),
+            jnp.asarray(boxes_c), (s, s), upsample=True)))  # (max_det, s, s)
+        boxes_img = reverse_letter_box(boxes_c[v], scale, pad, img.shape[:2])
+        scores_v, classes_v = np.asarray(scores[0])[v], np.asarray(classes[0])[v]
+        masks_v = masks[v] > 0.5
+
+        overlay = img.copy()
+        rng = np.random.default_rng(0)
+        for m in masks_v:
+            # undo the letterbox on the mask: crop pad, resize to image
+            mh = m[int(pad[1]):s - int(pad[1]) or s,
+                   int(pad[0]):s - int(pad[0]) or s]
+            mi = cv2.resize(mh.astype(np.uint8),
+                            (img.shape[1], img.shape[0])) > 0
+            color = rng.integers(60, 255, 3)
+            overlay[mi] = (0.5 * overlay[mi] + 0.5 * color).astype(np.uint8)
+        saved = None
+        if save_dir:
+            import os
+            name = (os.path.splitext(os.path.basename(image_path))[0]
+                    if isinstance(image_path, str) else "array")
+            saved = show_detection_results(
+                overlay, boxes_img, scores_v, classes_v, self.class_names,
+                save_dir, name + "_seg")
+        return {"boxes": boxes_img, "scores": scores_v, "classes": classes_v,
+                "masks": masks_v, "image": img, "saved": saved}

@@ -333,3 +333,47 @@ class VitClsConfig(BaseConfig):
     @property
     def num_classes(self) -> int:
         return self.n_classes
+
+
+# ------------------------------------------------------------ YOLOv8-seg
+@dataclass
+class Yolo8SegArch:
+    model_type: str = "n"
+    reg_max: int = 16
+    strides: Tuple[int, ...] = (8, 16, 32)
+    n_masks: int = 32
+
+
+@dataclass
+class Yolo8SegLoss:
+    box_gain: float = 7.5
+    cls_gain: float = 0.5
+    dfl_gain: float = 1.5
+    mask_gain: float = 2.5
+    tal_topk: int = 10
+    mask_topk: int = 64      # static fg-anchor cap for the mask BCE
+
+
+@config_registry("yolo8_seg")
+@dataclass
+class Yolo8SegConfig(BaseConfig):
+    """YOLOv8 instance segmentation — no reference counterpart (the torch
+    repo has no instance-seg task); ultralytics v8-seg semantics on top of
+    the golden-verified detection stack."""
+
+    arch: Yolo8SegArch = field(default_factory=Yolo8SegArch)
+    loss: Yolo8SegLoss = field(default_factory=Yolo8SegLoss)
+    dataset: DatasetCfg = field(default_factory=lambda: DatasetCfg(
+        name="coco", input_size=640, max_num_boxes=48))
+    optimizer: OptimizerCfg = field(default_factory=lambda: OptimizerCfg(
+        name="adam", lr=1e-3, warmup_iters=1000, milestones=(60, 80)))
+    decode: DecodeCfg = field(default_factory=lambda: DecodeCfg(
+        conf_threshold=0.25, iou_threshold=0.7, max_det=300))
+
+    @property
+    def model_name(self) -> str:
+        return "yolo8_seg"
+
+    @property
+    def num_classes(self) -> int:
+        return get_dataset_cfg(self.dataset.name)["num_classes"]

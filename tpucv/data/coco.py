@@ -19,7 +19,7 @@ import numpy as np
 
 class COCOIndex:
     def __init__(self, annotation_file: str, image_root: str,
-                 min_box: float = 1e-3):
+                 min_box: float = 1e-3, keep_polys: bool = False):
         with open(annotation_file) as f:
             data = json.load(f)
         self.image_root = image_root
@@ -65,12 +65,21 @@ class COCOIndex:
         self.samples: List[Tuple[str, np.ndarray, np.ndarray, int]] = []
         self.areas: List[np.ndarray] = []       # official ann areas (seg area)
         self.crowd: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        # per-sample, per-ann polygon lists for instance segmentation
+        # (list-format COCO "segmentation" only; RLE crowds are eval-only)
+        self._polys: Optional[List[list]] = [] if keep_polys else None
         for img_id, im in self.images.items():
-            boxes, labels, areas = _pack(anns_by_img.get(img_id, []))
+            anns = anns_by_img.get(img_id, [])
+            boxes, labels, areas = _pack(anns)
             path = os.path.join(image_root, im["file_name"])
             self.samples.append((path, boxes, labels, img_id))
             self.areas.append(areas)
             self.crowd.append(_pack(crowd_by_img.get(img_id, [])))
+            if self._polys is not None:
+                self._polys.append([
+                    a.get("segmentation")
+                    if isinstance(a.get("segmentation"), list) else None
+                    for a in anns])
 
     def __len__(self):
         return len(self.samples)
@@ -80,6 +89,11 @@ class COCOIndex:
 
     def image_id(self, i) -> int:
         return self.samples[i][3]
+
+    def polygons(self, i, j):
+        """Polygon list of the j-th kept annotation of image i (or None).
+        Requires ``keep_polys=True`` at construction."""
+        return self._polys[i][j] if self._polys is not None else None
 
     def eval_gt_records(self, i) -> List[dict]:
         """All GT records for image i in COCO-eval form — non-crowd first,

@@ -48,6 +48,7 @@ def decode_boxes(
     iou_threshold: float = 0.7,
     max_det: int = 300,
     pre_nms_topk: int = 2048,
+    return_idx: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Full decode + NMS, top-k-first: rank all anchors by best-class score
     (cheap, bf16), then run the DFL expectation decode only on the K
@@ -114,4 +115,9 @@ def decode_boxes(
     out_cls = jnp.take_along_axis(top_cls, idx, 1)
     valid = valid & (out_scores > conf_threshold)
     out_boxes = jnp.where(valid[..., None], out_boxes, 0.0)
+    if return_idx:
+        # flat anchor index of each kept detection (segmentation heads
+        # gather their per-anchor mask coefficients with it)
+        anchor_idx = jnp.take_along_axis(top_idx, idx, 1)
+        return out_boxes, out_scores, out_cls, valid, anchor_idx
     return out_boxes, out_scores, out_cls, valid

@@ -22,6 +22,7 @@ class TALResult(NamedTuple):
     target_bboxes: jax.Array   # (B, A, 4) xyxy
     target_scores: jax.Array   # (B, A, nc)
     fg_mask: jax.Array         # (B, A) bool
+    target_gt_idx: jax.Array   # (B, A) int32 — assigned GT row (0 when !fg)
 
 
 def select_candidates_in_gts(
@@ -144,7 +145,7 @@ def task_aligned_assigner(
         cnt = jax.nn.one_hot(topk_idxs, A, dtype=align.dtype).sum(axis=2)
         mask_pos = ((cnt > 0) & valid).astype(align.dtype)
 
-    target_gt_idx, fg_mask, mask_pos = select_highest_overlaps(
+    best_gt, fg_mask, mask_pos = select_highest_overlaps(
         mask_pos, overlaps, M
     )
 
@@ -166,4 +167,5 @@ def task_aligned_assigner(
     scores_onehot = jax.nn.one_hot(tl, num_classes, dtype=pd_scores.dtype)
     target_scores = scores_onehot * (norm_align * fg_mask)[..., None]
 
-    return TALResult(tl.astype(jnp.int32), tb, target_scores, fg_mask)
+    return TALResult(tl.astype(jnp.int32), tb, target_scores, fg_mask,
+                     jnp.where(fg_mask, best_gt, 0).astype(jnp.int32))

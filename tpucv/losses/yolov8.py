@@ -55,6 +55,7 @@ def yolov8_loss(
     cls_gain: float = 0.5,
     dfl_gain: float = 1.5,
     tal_topk: int = 10,
+    return_aux: bool = False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Compute the YOLOv8 training loss.
 
@@ -119,10 +120,18 @@ def yolov8_loss(
                 ).sum(dtype=jnp.float32) / tss
 
     total = (box_gain * loss_box + cls_gain * loss_cls + dfl_gain * loss_dfl) * B
-    return total, {
+    metrics = {
         "box_loss": loss_box, "cls_loss": loss_cls, "dfl_loss": loss_dfl,
         "num_fg": fg.sum().astype(jnp.float32),
     }
+    if return_aux:
+        # assignment facts for composed heads (segmentation mask loss):
+        # fg anchors, their GT rows, per-anchor weights, the normaliser,
+        # and the assigned boxes in input pixels
+        aux = {"fg": fg, "gt_idx": assigned.target_gt_idx, "weight": weight,
+               "tss": tss, "target_bboxes_px": assigned.target_bboxes}
+        return total, metrics, aux
+    return total, metrics
 
 
 # canonical implementation lives in losses/common.py

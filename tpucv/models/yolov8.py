@@ -56,6 +56,8 @@ class Yolo8(nn.Module):
     scale: str = "n"
     nc: int = 80
     reg_max: int = 16
+    head: str = "detect"            # "detect" | "segment"
+    n_masks: int = 32               # segment head prototypes
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -89,10 +91,17 @@ class Yolo8(nn.Module):
         x = jnp.concatenate([x, p5], axis=-1)                              # 20
         h21 = C2f(c(1024), n(3), False, dtype=dt, name="h21")(x, train)    # save 21 (P5 out)
 
+        feats = (h15, h18, h21)
+        if self.head == "segment":
+            from tpucv.nn.heads import SegmentHead
+            return SegmentHead(
+                nc=self.nc, n_masks=self.n_masks, reg_max=self.reg_max,
+                strides=(8, 16, 32), dtype=dt, name="segment",
+            )(feats, train)
         return DetectHead(
             nc=self.nc, reg_max=self.reg_max, strides=(8, 16, 32),
             dtype=dt, name="detect",
-        )((h15, h18, h21), train)
+        )(feats, train)
 
 
 def build_yolo8(scale: str, nc: int = 80, dtype: Dtype = jnp.float32) -> Yolo8:

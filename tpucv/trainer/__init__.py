@@ -5,3 +5,4 @@ from tpucv.trainer.centernet_train import CenterNetTrainer  # noqa: F401
 from tpucv.trainer.segmentation_trainer import DeeplabV3PlusTrainer  # noqa: F401
 from tpucv.trainer.yolo7_train import Yolo7Trainer  # noqa: F401
 from tpucv.trainer.vit_train import VitClsTrainer  # noqa: F401
+from tpucv.trainer.yolo8_seg_train import Yolo8SegTrainer  # noqa: F401

@@ -16,11 +16,15 @@ def main():
     parser.add_argument("--n-model", type=int, default=None,
                         help="model-axis size of the (data, model) mesh; "
                              ">1 channel-shards the largest conv kernels")
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="override cfg.train.batch_size")
     args = parser.parse_args()
 
     cfg, _algo, trainer_cls = export_from_registry(args.model)
     if args.n_model is not None:
         cfg.train.n_model = args.n_model
+    if args.batch_size is not None:
+        cfg.train.batch_size = args.batch_size
     trainer = trainer_cls(cfg)
     trainer.train(max_steps=args.max_steps)
 
