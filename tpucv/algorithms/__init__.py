@@ -9,3 +9,4 @@ from tpucv.algorithms.segmentation_2d import DeeplabV3PlusA  # noqa: F401
 from tpucv.algorithms.yolov7 import YOLOv7 as Yolo7A  # noqa: F401
 from tpucv.algorithms.classification import VitClassification  # noqa: F401
 from tpucv.algorithms.yolov8_seg import YOLOv8Seg  # noqa: F401
+from tpucv.algorithms.yolov8_pose import YOLOv8Pose  # noqa: F401

@@ -377,3 +377,50 @@ class Yolo8SegConfig(BaseConfig):
     @property
     def num_classes(self) -> int:
         return get_dataset_cfg(self.dataset.name)["num_classes"]
+
+
+# ------------------------------------------------------------ YOLOv8-pose
+@dataclass
+class Yolo8PoseArch:
+    model_type: str = "n"
+    reg_max: int = 16
+    strides: Tuple[int, ...] = (8, 16, 32)
+    kpt_shape: Tuple[int, int] = (17, 3)
+
+
+@dataclass
+class Yolo8PoseLoss:
+    box_gain: float = 7.5
+    cls_gain: float = 0.5
+    dfl_gain: float = 1.5
+    kpt_gain: float = 12.0
+    kobj_gain: float = 1.0
+    tal_topk: int = 10
+    pose_topk: int = 64      # static fg-anchor cap for the keypoint loss
+
+
+@config_registry("yolo8_pose")
+@dataclass
+class Yolo8PoseConfig(BaseConfig):
+    """YOLOv8 pose estimation (person keypoints) — no reference
+    counterpart (the torch repo's pose work is an unfinished CPM file with
+    no pipeline); ultralytics v8-pose semantics on the golden-verified
+    detection stack."""
+
+    arch: Yolo8PoseArch = field(default_factory=Yolo8PoseArch)
+    loss: Yolo8PoseLoss = field(default_factory=Yolo8PoseLoss)
+    dataset: DatasetCfg = field(default_factory=lambda: DatasetCfg(
+        name="coco", input_size=640, max_num_boxes=32))
+    optimizer: OptimizerCfg = field(default_factory=lambda: OptimizerCfg(
+        name="adam", lr=1e-3, warmup_iters=1000, milestones=(60, 80)))
+    decode: DecodeCfg = field(default_factory=lambda: DecodeCfg(
+        conf_threshold=0.25, iou_threshold=0.7, max_det=300))
+
+    @property
+    def model_name(self) -> str:
+        return "yolo8_pose"
+
+    @property
+    def num_classes(self) -> int:
+        return 1                      # person
+

@@ -56,8 +56,9 @@ class Yolo8(nn.Module):
     scale: str = "n"
     nc: int = 80
     reg_max: int = 16
-    head: str = "detect"            # "detect" | "segment"
+    head: str = "detect"            # "detect" | "segment" | "pose"
     n_masks: int = 32               # segment head prototypes
+    kpt_shape: Tuple[int, int] = (17, 3)   # pose head keypoints
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -97,6 +98,12 @@ class Yolo8(nn.Module):
             return SegmentHead(
                 nc=self.nc, n_masks=self.n_masks, reg_max=self.reg_max,
                 strides=(8, 16, 32), dtype=dt, name="segment",
+            )(feats, train)
+        if self.head == "pose":
+            from tpucv.nn.heads import PoseHead
+            return PoseHead(
+                nc=self.nc, kpt_shape=self.kpt_shape, reg_max=self.reg_max,
+                strides=(8, 16, 32), dtype=dt, name="pose",
             )(feats, train)
         return DetectHead(
             nc=self.nc, reg_max=self.reg_max, strides=(8, 16, 32),

@@ -6,3 +6,4 @@ from tpucv.trainer.segmentation_trainer import DeeplabV3PlusTrainer  # noqa: F40
 from tpucv.trainer.yolo7_train import Yolo7Trainer  # noqa: F401
 from tpucv.trainer.vit_train import VitClsTrainer  # noqa: F401
 from tpucv.trainer.yolo8_seg_train import Yolo8SegTrainer  # noqa: F401
+from tpucv.trainer.yolo8_pose_train import Yolo8PoseTrainer  # noqa: F401
