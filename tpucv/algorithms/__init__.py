@@ -10,3 +10,4 @@ from tpucv.algorithms.yolov7 import YOLOv7 as Yolo7A  # noqa: F401
 from tpucv.algorithms.classification import VitClassification  # noqa: F401
 from tpucv.algorithms.yolov8_seg import YOLOv8Seg  # noqa: F401
 from tpucv.algorithms.yolov8_pose import YOLOv8Pose  # noqa: F401
+from tpucv.algorithms.yolov8_cls import YOLOv8Cls  # noqa: F401

@@ -5,7 +5,7 @@ with an empty file and has no classification task; tpucv registers a full
 pipeline for it."""
 
 MODELS = ["yolo7", "yolo8_det", "ssd", "centernet", "deeplabv3plus",
-          "vit_cls", "yolo8_seg", "yolo8_pose"]
+          "vit_cls", "yolo8_seg", "yolo8_pose", "yolo8_cls"]
 
 
 def check_model_name(name: str) -> None:

@@ -424,3 +424,33 @@ class Yolo8PoseConfig(BaseConfig):
     def num_classes(self) -> int:
         return 1                      # person
 
+
+# ------------------------------------------------------------ YOLOv8-cls
+@dataclass
+class Yolo8ClsArch:
+    model_type: str = "n"
+
+
+@config_registry("yolo8_cls")
+@dataclass
+class Yolo8ClsConfig(BaseConfig):
+    """YOLOv8 image classification — the reference ships the yolov8-cls
+    spec (``core/models/yolov8/yolov8-cls.yaml``) and the ``Classify``
+    head (``modules.py:509-528``) but no pipeline; tpucv registers a full
+    one on the golden-verified backbone.  Same folder-per-class /
+    synthetic dataset contract as ``vit_cls``."""
+
+    arch: Yolo8ClsArch = field(default_factory=Yolo8ClsArch)
+    loss: VitClsLoss = field(default_factory=VitClsLoss)
+    dataset: DatasetCfg = field(default_factory=lambda: DatasetCfg(
+        name="folder", input_size=224, max_num_boxes=0))
+    n_classes: int = 10          # overridden by the folder tree when present
+
+    @property
+    def model_name(self) -> str:
+        return "yolo8_cls"
+
+    @property
+    def num_classes(self) -> int:
+        return self.n_classes
+

@@ -56,7 +56,7 @@ class Yolo8(nn.Module):
     scale: str = "n"
     nc: int = 80
     reg_max: int = 16
-    head: str = "detect"            # "detect" | "segment" | "pose"
+    head: str = "detect"            # "detect" | "segment" | "pose" | "classify"
     n_masks: int = 32               # segment head prototypes
     kpt_shape: Tuple[int, int] = (17, 3)   # pose head keypoints
     dtype: Dtype = jnp.float32
@@ -78,6 +78,15 @@ class Yolo8(nn.Module):
         p4 = C2f(c(512), n(6), True, dtype=dt, name="b6")(x, train)        # save 6
         x = ConvBnAct(c(1024), 3, 2, dtype=dt, name="b7")(p4, train)       # P5/32
         x = C2f(c(1024), n(3), True, dtype=dt, name="b8")(x, train)
+
+        if self.head == "classify":
+            # yolov8-cls graph (reference ships the spec as
+            # core/models/yolov8/yolov8-cls.yaml): backbone layers 0-8
+            # (no SPPF, no FPN) -> Classify head, 224^2 input.
+            from tpucv.nn.heads import ClassifyHead
+            return ClassifyHead(nc=self.nc, dtype=dt,
+                                name="classify")(x, train)
+
         p5 = SPPF(c(1024), 5, dtype=dt, name="b9")(x, train)               # save 9
 
         # PAN-FPN head — layers 10-21.

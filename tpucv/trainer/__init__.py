@@ -7,3 +7,4 @@ from tpucv.trainer.yolo7_train import Yolo7Trainer  # noqa: F401
 from tpucv.trainer.vit_train import VitClsTrainer  # noqa: F401
 from tpucv.trainer.yolo8_seg_train import Yolo8SegTrainer  # noqa: F401
 from tpucv.trainer.yolo8_pose_train import Yolo8PoseTrainer  # noqa: F401
+from tpucv.trainer.yolo8_cls_train import Yolo8ClsTrainer  # noqa: F401
