@@ -33,7 +33,7 @@ def main():
         detect_video(algo, variables, args.src[0], args.dst)
         return
 
-    infer_fn = algo.make_infer_fn(model)
+    infer_fn = algo.make_predict_infer_fn(model)
     t0 = time.time()
     for path in args.src:
         result = algo.predict(variables, path, infer_fn=infer_fn,

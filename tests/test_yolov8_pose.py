@@ -171,3 +171,20 @@ def test_pose_predict_returns_keypoints(tmp_path):
     assert "keypoints" in res
     if len(res["keypoints"]):
         assert res["keypoints"].shape[1:] == (5, 3)
+
+
+@pytest.mark.slow
+def test_pose_predict_with_cli_infer_fn(tmp_path):
+    """Regression: predict.py prebuilds algo.make_predict_infer_fn and
+    passes it in — for pose that must be the 5-output keypoint contract,
+    not the boxes-only eval fn (which crashed the CLI drive)."""
+    cfg, algo_cls, _ = _tiny_cfg()
+    algo = algo_cls(cfg)
+    model = algo.build_model()
+    variables = algo.init_variables(model)
+    infer_fn = algo.make_predict_infer_fn(model)
+    img = np.random.default_rng(1).integers(
+        0, 255, (80, 60, 3), dtype=np.uint8)
+    res = algo.predict(variables, img, infer_fn=infer_fn,
+                       save_dir=str(tmp_path))
+    assert "keypoints" in res

@@ -154,3 +154,20 @@ def test_seg_predict_returns_masks(tmp_path):
     res = algo.predict(variables, img, save_dir=str(tmp_path))
     assert "masks" in res
     assert res["masks"].shape[1:] == img.shape[:2] or len(res["masks"]) == 0
+
+
+@pytest.mark.slow
+def test_seg_predict_with_cli_infer_fn(tmp_path):
+    """Regression: predict.py prebuilds algo.make_predict_infer_fn —
+    for seg that must be the mask-coefficient contract, not the
+    boxes-only eval fn."""
+    cfg, algo_cls, _ = _tiny_cfg()
+    algo = algo_cls(cfg)
+    model = algo.build_model()
+    variables = algo.init_variables(model)
+    infer_fn = algo.make_predict_infer_fn(model)
+    img = np.random.default_rng(1).integers(
+        0, 255, (80, 60, 3), dtype=np.uint8)
+    res = algo.predict(variables, img, infer_fn=infer_fn,
+                       save_dir=str(tmp_path))
+    assert "masks" in res

@@ -55,6 +55,14 @@ class DetectionAlgorithm:
     def make_infer_fn(self, model=None, conf_threshold: Optional[float] = None):
         raise NotImplementedError
 
+    def make_predict_infer_fn(self, model=None,
+                              conf_threshold: Optional[float] = None):
+        """Infer fn for the predict CLI. Defaults to the eval-harness
+        boxes-only contract; families whose ``predict`` consumes extra
+        outputs (seg masks, pose keypoints) override this so the CLI's
+        prebuilt fn matches what ``predict`` unpacks."""
+        return self.make_infer_fn(model, conf_threshold)
+
     @property
     def init_size(self) -> int:
         """Spatial size used for parameter init. Fully-convolutional models

@@ -71,6 +71,11 @@ class YOLOv8Pose(DetectionAlgorithm):
 
         return infer
 
+    # the predict CLI needs the keypoint outputs, not the boxes-only contract
+    def make_predict_infer_fn(self, model=None,
+                              conf_threshold: Optional[float] = None):
+        return self.make_pose_infer_fn(model, conf_threshold)
+
     def make_pose_infer_fn(self, model=None,
                            conf_threshold: Optional[float] = None):
         model = model or self.build_model()

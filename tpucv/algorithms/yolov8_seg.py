@@ -68,6 +68,11 @@ class YOLOv8Seg(DetectionAlgorithm):
 
         return infer
 
+    # the predict CLI needs the mask outputs, not the boxes-only contract
+    def make_predict_infer_fn(self, model=None,
+                              conf_threshold: Optional[float] = None):
+        return self.make_seg_infer_fn(model, conf_threshold)
+
     def make_seg_infer_fn(self, model=None,
                           conf_threshold: Optional[float] = None):
         """Full contract: (+ mask coefficients, prototypes)."""
