@@ -66,6 +66,11 @@ class VitClassification:
 
         return infer
 
+    def make_predict_infer_fn(self, model=None,
+                              conf_threshold: Optional[float] = None):
+        """Predict-CLI contract (same as eval here: softmax probs)."""
+        return self.make_infer_fn(model, conf_threshold)
+
     # ------------------------------------------------------------- predict
     def predict(self, variables, image_path: str, infer_fn=None,
                 save_dir: Optional[str] = None, topk: int = 5):

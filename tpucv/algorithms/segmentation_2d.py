@@ -68,6 +68,10 @@ class DeeplabV3PlusA:
 
         return loss_fn
 
+    def make_predict_infer_fn(self, model=None, **_):
+        """Predict-CLI contract (same as eval here: class-index map)."""
+        return self.make_infer_fn(model)
+
     def make_infer_fn(self, model=None, **_):
         model = model or self.build_model()
 
