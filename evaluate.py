@@ -49,6 +49,22 @@ def main():
         return
 
     ds = get_dataset_cfg(cfg.dataset.name)
+    if cfg.model_name == "yolo8_pose":      # person keypoints + OKS mAP
+        from tpucv.data.pose_dataset import (COCOKeypointIndex,
+                                             SyntheticPoseIndex)
+        ann = os.path.join(
+            ds["root"], f"annotations/person_keypoints_{args.subset}2017.json")
+        img_root = os.path.join(ds["root"], f"{args.subset}2017")
+        if os.path.isfile(ann) and os.path.isdir(img_root):
+            index = COCOKeypointIndex(ann, img_root)
+        else:
+            print(f"person_keypoints not found under {ds['root']!r} — "
+                  f"synthetic pose data")
+            index = SyntheticPoseIndex(
+                16, cfg.dataset.input_size,
+                nk=cfg.arch.kpt_shape[0], seed=1)
+        algo.evaluate_on_coco(variables, index, args.batch_size)
+        return
     if cfg.dataset.name == "coco":
         from tpucv.data.coco import COCOIndex
         index = COCOIndex(

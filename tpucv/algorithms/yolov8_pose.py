@@ -89,6 +89,109 @@ class YOLOv8Pose(DetectionAlgorithm):
 
         return infer
 
+    # ------------------------------------------------------------ evaluate
+    def _batched_pose_detections(self, variables, index, batch_size: int,
+                                 conf_threshold: float):
+        """Pose twin of the base batched eval loop (algorithms/base.py):
+        device-side letterbox + forward + decode, plus the keypoint outputs,
+        with boxes AND keypoints mapped back to original image coords."""
+        import jax
+        import jax.numpy as jnp
+        from tpucv.ops.preprocess import letterbox_images
+        from tpucv.utils.image_process import read_image, reverse_letter_box
+
+        infer = self.make_pose_infer_fn(conf_threshold=conf_threshold)
+        s = self.input_size
+        C = self.raw_canvas
+
+        @jax.jit
+        def letterbox_and_infer(variables, canvases, hw):
+            lb, scale, pad = letterbox_images(canvases, hw, s)
+            boxes, scores, classes, valid, kpts = infer(variables, lb)
+            return boxes, scores, classes, valid, kpts, scale, pad
+
+        n = len(index)
+        for start in range(0, n, batch_size):
+            idxs = list(range(start, min(start + batch_size, n)))
+            canvases = np.zeros((batch_size, C, C, 3), np.uint8)
+            hw = np.ones((batch_size, 2), np.int32)
+            oshapes, prescales = [], []
+            for j, i in enumerate(idxs):
+                path, _, _ = index[i]
+                img = read_image(path) if isinstance(path, str) else path
+                oh, ow = img.shape[:2]
+                if oh > C or ow > C:
+                    import cv2
+                    pre = C / max(oh, ow)
+                    img = cv2.resize(img, (int(ow * pre), int(oh * pre)),
+                                     interpolation=cv2.INTER_NEAREST)
+                h, w = img.shape[:2]
+                canvases[j, :h, :w] = img
+                hw[j] = (h, w)
+                oshapes.append((oh, ow))
+                prescales.append((w / ow, h / oh))
+            boxes_b, scores_b, classes_b, valid_b, kpts_b, scale_b, pad_b = \
+                jax.device_get(letterbox_and_infer(
+                    variables, jnp.asarray(canvases), jnp.asarray(hw)))
+            for j, i in enumerate(idxs):
+                v = valid_b[j]
+                pre_x, pre_y = prescales[j]
+                sx = float(scale_b[j]) * pre_x
+                sy = float(scale_b[j]) * pre_y
+                boxes = reverse_letter_box(
+                    boxes_b[j][v], (sx, sy), tuple(pad_b[j]), oshapes[j])
+                kv = np.asarray(kpts_b[j][v]).copy()
+                kv[..., 0] = (kv[..., 0] - float(pad_b[j][0])) / max(sx, 1e-9)
+                kv[..., 1] = (kv[..., 1] - float(pad_b[j][1])) / max(sy, 1e-9)
+                yield i, boxes, scores_b[j][v], classes_b[j][v], kv
+
+    def evaluate_on_coco(self, variables, index, batch_size: int = 32,
+                         conf_threshold: float = 0.001,
+                         result_dir: str = "result",
+                         verbose: bool = True):
+        """Person bbox mAP + OKS keypoint mAP (COCOeval
+        iouType='keypoints' protocol) over a keypoint index."""
+        import json
+        import os
+        from tpucv.metrics.coco_map import (COCOKeypointAP, COCOMeanAP,
+                                            OKS_SIGMAS)
+
+        nk = self.cfg.arch.kpt_shape[0]
+        dts_box, dts_kpt = [], []
+        for i, boxes, scores, classes, kpts in self._batched_pose_detections(
+                variables, index, batch_size, conf_threshold):
+            img_id = index.image_id(i)
+            for b, s_, kp in zip(boxes, scores, kpts):
+                dts_box.append({
+                    "image_id": img_id, "category_id": 1,
+                    "bbox": [float(b[0]), float(b[1]),
+                             float(b[2] - b[0]), float(b[3] - b[1])],
+                    "score": float(s_)})
+                dts_kpt.append({
+                    "image_id": img_id, "category_id": 1,
+                    "keypoints": np.asarray(kp, np.float32).reshape(-1),
+                    "score": float(s_)})
+        os.makedirs(result_dir, exist_ok=True)
+        with open(os.path.join(result_dir, "eval_results.json"), "w") as f:
+            json.dump([{**d, "keypoints": d["keypoints"].tolist()}
+                       for d in dts_kpt], f)
+        gts = [r for i in range(len(index)) for r in index.eval_gt_records(i)]
+        box_stats = COCOMeanAP(gts, dts_box, index.cat_ids) \
+            .accumulate().summarize()
+        sigmas = OKS_SIGMAS if nk == len(OKS_SIGMAS) \
+            else np.full(nk, 0.05)
+        kp_ev = COCOKeypointAP(gts, dts_kpt, index.cat_ids,
+                               sigmas=sigmas).accumulate()
+        kpt_stats = kp_ev.summarize()
+        if verbose:
+            print(f"person bbox: AP={box_stats['AP']:.3f}  "
+                  f"AP50={box_stats['AP50']:.3f}")
+            print("keypoints (OKS):")
+            kp_ev.print_summary(kpt_stats)
+        stats = dict(box_stats)
+        stats.update({f"kpt_{k}": v for k, v in kpt_stats.items()})
+        return stats
+
     def predict(self, variables, image_path: str, infer_fn=None,
                 save_dir: Optional[str] = "detect_results"):
         import cv2

@@ -15,17 +15,24 @@ class COCOKeypointIndex:
     """person_keypoints_*2017.json: samples are (path, boxes, labels=0) and
     per-sample keypoint arrays (n, 17, 3)."""
 
+    cat_ids = (1,)                       # COCO person category
+    contig_to_cat = {0: 1}
+
     def __init__(self, annotation_file: str, image_root: str):
         with open(annotation_file) as f:
             data = json.load(f)
         images = {im["id"]: im for im in data["images"]}
-        by_img: Dict[int, list] = {}
-        for a in data.get("annotations", []):
+        by_img: Dict[int, list] = {}       # trainable anns (crowd/kpt-less
+        all_by_img: Dict[int, list] = {}   # excluded) / ALL anns (for the
+        for a in data.get("annotations", []):   # eval ignore protocol)
+            all_by_img.setdefault(a["image_id"], []).append(a)
             if a.get("iscrowd", 0) or a.get("num_keypoints", 0) == 0:
                 continue
             by_img.setdefault(a["image_id"], []).append(a)
         self.samples = []
         self.kpts: List[np.ndarray] = []
+        self.ids: List[int] = []
+        self._eval_anns: List[list] = []
         for img_id, anns in by_img.items():
             im = images[img_id]
             boxes = np.asarray(
@@ -38,6 +45,8 @@ class COCOKeypointIndex:
             self.kpts.append(np.asarray(
                 [a["keypoints"] for a in anns],
                 np.float32).reshape(len(anns), 17, 3))
+            self.ids.append(img_id)
+            self._eval_anns.append(all_by_img[img_id])
 
     def __len__(self):
         return len(self.samples)
@@ -47,6 +56,27 @@ class COCOKeypointIndex:
 
     def keypoints(self, i) -> np.ndarray:
         return self.kpts[i]
+
+    def image_id(self, i) -> int:
+        return self.ids[i]
+
+    def eval_gt_records(self, i) -> List[dict]:
+        """Full-protocol GT dicts: crowd and keypoint-less persons are kept
+        (the evaluator treats them as ignore regions), matching pycocotools
+        semantics."""
+        recs = []
+        for a in self._eval_anns[i]:
+            recs.append({
+                "image_id": self.ids[i], "category_id": 1,
+                "bbox": [float(v) for v in a["bbox"]],
+                "area": float(a.get("area",
+                                    a["bbox"][2] * a["bbox"][3])),
+                "iscrowd": int(a.get("iscrowd", 0)),
+                "keypoints": np.asarray(
+                    a.get("keypoints", [0.0] * 51), np.float32),
+                "num_keypoints": int(a.get("num_keypoints", 0)),
+            })
+        return recs
 
 
 class SyntheticPoseIndex:
@@ -92,6 +122,28 @@ class SyntheticPoseIndex:
         xy = boxes[:, None, :2] + f[None] * wh[:, None]
         vis = np.full((len(boxes), self.nk, 1), 2.0, np.float32)
         return np.concatenate([xy, vis], -1).astype(np.float32)
+
+    cat_ids = (1,)
+    contig_to_cat = {0: 1}
+
+    def image_id(self, i) -> int:
+        return i
+
+    def eval_gt_records(self, i) -> List[dict]:
+        _, boxes, _ = self[i]
+        kpts = self.keypoints(i)
+        recs = []
+        for b, kp in zip(boxes, kpts):
+            recs.append({
+                "image_id": i, "category_id": 1,
+                "bbox": [float(b[0]), float(b[1]),
+                         float(b[2] - b[0]), float(b[3] - b[1])],
+                "area": float((b[2] - b[0]) * (b[3] - b[1])),
+                "iscrowd": 0,
+                "keypoints": kp.reshape(-1),
+                "num_keypoints": self.nk,
+            })
+        return recs
 
 
 class PoseDataset:

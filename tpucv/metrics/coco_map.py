@@ -55,6 +55,13 @@ def _iou_xywh(dts: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray) -> np.ndarr
 
 
 class COCOMeanAP:
+    # protocol parameters (pycocotools Params for iouType='bbox');
+    # COCOKeypointAP overrides them for the keypoints protocol
+    iou_thrs = IOU_THRS
+    rec_thrs = REC_THRS
+    area_rng = AREA_RNG
+    max_dets = MAX_DETS
+
     def __init__(self, gts: Sequence[dict], dts: Sequence[dict],
                  cat_ids: Sequence[int]):
         self.cat_ids = list(cat_ids)
@@ -69,6 +76,21 @@ class COCOMeanAP:
             self.img_ids.add(d["image_id"])
         self.img_ids = sorted(self.img_ids)
 
+    # -------------------------------------------------- protocol hooks
+    def _gt_extra_ignore(self, g: dict) -> bool:
+        """Protocol-specific extra GT-ignore condition (keypoints: no
+        labeled keypoints)."""
+        return False
+
+    def _dt_area(self, d: dict) -> float:
+        return d["bbox"][2] * d["bbox"][3]
+
+    def _iou(self, dts: List[dict], gts: List[dict],
+             iscrowd: np.ndarray) -> np.ndarray:
+        g_boxes = np.array([g["bbox"] for g in gts], float).reshape(-1, 4)
+        d_boxes = np.array([d["bbox"] for d in dts], float).reshape(-1, 4)
+        return _iou_xywh(d_boxes, g_boxes, iscrowd)
+
     # ------------------------------------------------------------ matching
     def _evaluate_img(self, img_id, cat_id, area_rng, max_det):
         gts = self._gts.get((img_id, cat_id), [])
@@ -79,7 +101,7 @@ class COCOMeanAP:
         # both bounds INCLUSIVE in-range (cocoeval.evaluateImg), so an area
         # exactly on a boundary (e.g. 32^2) is in BOTH adjacent ranges
         g_ignore = np.array([
-            bool(g.get("iscrowd", 0))
+            bool(g.get("iscrowd", 0)) or self._gt_extra_ignore(g)
             or g.get("area", g["bbox"][2] * g["bbox"][3]) < area_rng[0]
             or g.get("area", g["bbox"][2] * g["bbox"][3]) > area_rng[1]
             for g in gts], dtype=bool)
@@ -92,16 +114,14 @@ class COCOMeanAP:
         d_order = np.argsort([-d["score"] for d in dts], kind="stable")[:max_det]
         dts = [dts[i] for i in d_order]
 
-        g_boxes = np.array([g["bbox"] for g in gts], float).reshape(-1, 4)
-        d_boxes = np.array([d["bbox"] for d in dts], float).reshape(-1, 4)
-        ious = _iou_xywh(d_boxes, g_boxes, iscrowd)
+        ious = self._iou(dts, gts, iscrowd)
 
-        T = len(IOU_THRS)
+        T = len(self.iou_thrs)
         D, G = len(dts), len(gts)
         dt_m = -np.ones((T, D), int)    # matched gt index or -1
         gt_m = -np.ones((T, G), int)
         dt_ig = np.zeros((T, D), bool)
-        for ti, t in enumerate(IOU_THRS):
+        for ti, t in enumerate(self.iou_thrs):
             for di in range(D):
                 best, bestg = min(t, 1 - 1e-10), -1
                 for gi in range(G):
@@ -120,7 +140,7 @@ class COCOMeanAP:
                 gt_m[ti, bestg] = di
         # unmatched dets outside the area range are ignored (same inclusive
         # bounds as gts: ignored iff area < rng[0] or area > rng[1])
-        d_area = d_boxes[:, 2] * d_boxes[:, 3]
+        d_area = np.array([self._dt_area(d) for d in dts], float)
         d_out = (d_area < area_rng[0]) | (d_area > area_rng[1])
         dt_ig = dt_ig | ((dt_m == -1) & d_out[None])
         return {
@@ -198,13 +218,13 @@ class COCOMeanAP:
             return self
         if use_native is True:
             raise RuntimeError("native cocoeval library unavailable")
-        T, R = len(IOU_THRS), len(REC_THRS)
-        K, A, M = len(self.cat_ids), len(AREA_RNG), len(MAX_DETS)
+        T, R = len(self.iou_thrs), len(self.rec_thrs)
+        K, A, M = len(self.cat_ids), len(self.area_rng), len(self.max_dets)
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
         for ki, cat in enumerate(self.cat_ids):
-            for ai, (aname, arng) in enumerate(AREA_RNG.items()):
-                for mi, max_det in enumerate(MAX_DETS):
+            for ai, (aname, arng) in enumerate(self.area_rng.items()):
+                for mi, max_det in enumerate(self.max_dets):
                     evals = [self._evaluate_img(i, cat, arng, max_det)
                              for i in self.img_ids]
                     evals = [e for e in evals if e is not None]
@@ -232,7 +252,7 @@ class COCOMeanAP:
                         pr = pr.tolist()
                         for i in range(len(pr) - 1, 0, -1):
                             pr[i - 1] = max(pr[i - 1], pr[i])
-                        inds = np.searchsorted(rc, REC_THRS, side="left")
+                        inds = np.searchsorted(rc, self.rec_thrs, side="left")
                         q = np.zeros(R)
                         for ri, pi in enumerate(inds):
                             if pi < len(pr):
@@ -244,17 +264,17 @@ class COCOMeanAP:
 
     # ------------------------------------------------------------- summary
     def _summarize(self, ap=True, iou_thr=None, area="all", max_det=100):
-        ai = list(AREA_RNG.keys()).index(area)
-        mi = MAX_DETS.index(max_det)
+        ai = list(self.area_rng.keys()).index(area)
+        mi = list(self.max_dets).index(max_det)
         if ap:
             s = self.precision
             if iou_thr is not None:
-                s = s[np.where(np.isclose(IOU_THRS, iou_thr))[0]]
+                s = s[np.where(np.isclose(self.iou_thrs, iou_thr))[0]]
             s = s[:, :, :, ai, mi]
         else:
             s = self.recall
             if iou_thr is not None:
-                s = s[np.where(np.isclose(IOU_THRS, iou_thr))[0]]
+                s = s[np.where(np.isclose(self.iou_thrs, iou_thr))[0]]
             s = s[:, :, ai, mi]
         valid = s[s > -1]
         return float(valid.mean()) if valid.size else -1.0
@@ -298,3 +318,107 @@ class COCOMeanAP:
                    "Average Recall     (AR)"
             print(f" {kind} @[ IoU={iou} | area={area:>6s} | "
                   f"maxDets={md:>3d} ] = {v:0.3f}")
+
+
+# COCO 17-keypoint per-joint falloff constants (pycocotools cocoeval.py
+# Params.setKpParams: kpt_oks_sigmas)
+OKS_SIGMAS = np.array([
+    .26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+    1.07, 1.07, .87, .87, .89, .89]) / 10.0
+
+
+class COCOKeypointAP(COCOMeanAP):
+    """COCOeval iouType='keypoints' protocol: OKS similarity, area ranges
+    all/medium/large, maxDets=20, GTs with no labeled keypoints ignored.
+    gts carry {keypoints (3K flat,), num_keypoints, bbox, area}; dts carry
+    {keypoints (3K flat,), score}.
+
+    Mirrors pycocotools ``computeOks`` exactly: per-joint squared distance
+    over (2*sigma)^2 scaled by GT area; for GTs with no visible joints the
+    distance is to the 2x-expanded GT box. The reference consumes this
+    protocol through pycocotools; tpucv's pose family (no reference
+    counterpart) evaluates with this native engine.
+    """
+
+    iou_thrs = IOU_THRS
+    rec_thrs = REC_THRS
+    area_rng = {"all": (0.0, 1e10), "medium": (32.0**2, 96.0**2),
+                "large": (96.0**2, 1e10)}
+    max_dets = (20,)
+
+    def __init__(self, gts, dts, cat_ids, sigmas: np.ndarray = OKS_SIGMAS):
+        super().__init__(gts, dts, cat_ids)
+        self.sigmas = np.asarray(sigmas, float)
+
+    def _accumulate_native(self) -> bool:
+        return False                      # C++ core is bbox-only
+
+    def _gt_extra_ignore(self, g: dict) -> bool:
+        kp = np.asarray(g["keypoints"], float)
+        return int((kp[2::3] > 0).sum()) == 0
+
+    def _dt_area(self, d: dict) -> float:
+        # pycocotools loadRes computes dt area as the keypoint-extent box
+        kp = np.asarray(d["keypoints"], float)
+        x, y = kp[0::3], kp[1::3]
+        return float((x.max() - x.min()) * (y.max() - y.min()))
+
+    def _iou(self, dts, gts, iscrowd) -> np.ndarray:
+        if len(dts) == 0 or len(gts) == 0:
+            return np.zeros((len(dts), len(gts)))
+        var = (self.sigmas * 2) ** 2
+        ious = np.zeros((len(dts), len(gts)))
+        for gi, g in enumerate(gts):
+            kp = np.asarray(g["keypoints"], float)
+            xg, yg, vg = kp[0::3], kp[1::3], kp[2::3]
+            k1 = int((vg > 0).sum())
+            bb = g["bbox"]
+            x0, x1 = bb[0] - bb[2], bb[0] + bb[2] * 2
+            y0, y1 = bb[1] - bb[3], bb[1] + bb[3] * 2
+            area = g.get("area", bb[2] * bb[3])
+            for di, d in enumerate(dts):
+                kd = np.asarray(d["keypoints"], float)
+                xd, yd = kd[0::3], kd[1::3]
+                if k1 > 0:
+                    dx, dy = xd - xg, yd - yg
+                else:
+                    dx = np.maximum(0, x0 - xd) + np.maximum(0, xd - x1)
+                    dy = np.maximum(0, y0 - yd) + np.maximum(0, yd - y1)
+                e = (dx**2 + dy**2) / var / (area + np.spacing(1)) / 2
+                if k1 > 0:
+                    e = e[vg > 0]
+                ious[di, gi] = np.exp(-e).sum() / e.shape[0]
+        return ious
+
+    def summarize(self) -> Dict[str, float]:
+        md = self.max_dets[0]
+        return {
+            "AP": self._summarize(True, max_det=md),
+            "AP50": self._summarize(True, 0.5, max_det=md),
+            "AP75": self._summarize(True, 0.75, max_det=md),
+            "APm": self._summarize(True, area="medium", max_det=md),
+            "APl": self._summarize(True, area="large", max_det=md),
+            "AR": self._summarize(False, max_det=md),
+            "AR50": self._summarize(False, 0.5, max_det=md),
+            "AR75": self._summarize(False, 0.75, max_det=md),
+            "ARm": self._summarize(False, area="medium", max_det=md),
+            "ARl": self._summarize(False, area="large", max_det=md),
+        }
+
+    def print_summary(self, stats: Dict[str, float] | None = None):
+        stats = stats or self.summarize()
+        rows = [
+            ("Average Precision  (AP)", "0.50:0.95", "all", stats["AP"]),
+            ("Average Precision  (AP)", "0.50     ", "all", stats["AP50"]),
+            ("Average Precision  (AP)", "0.75     ", "all", stats["AP75"]),
+            ("Average Precision  (AP)", "0.50:0.95", "medium", stats["APm"]),
+            ("Average Precision  (AP)", "0.50:0.95", "large", stats["APl"]),
+            ("Average Recall     (AR)", "0.50:0.95", "all", stats["AR"]),
+            ("Average Recall     (AR)", "0.50     ", "all", stats["AR50"]),
+            ("Average Recall     (AR)", "0.75     ", "all", stats["AR75"]),
+            ("Average Recall     (AR)", "0.50:0.95", "medium", stats["ARm"]),
+            ("Average Recall     (AR)", "0.50:0.95", "large", stats["ARl"]),
+        ]
+        for kind, iou, area, v in rows:
+            print(f" {kind} @[ OKS={iou} | area={area:>6s} | "
+                  f"maxDets={self.max_dets[0]:>3d} ] = {v:0.3f}")
