@@ -127,13 +127,37 @@ class DetectionAlgorithm:
             boxes, scores, classes, valid = infer(variables, lb)
             return boxes, scores, classes, valid, scale, pad
 
+        from tpucv.native import imagepipe
+
         n = len(index)
         for start in range(0, n, batch_size):
             idxs = list(range(start, min(start + batch_size, n)))
             canvases = np.zeros((batch_size, C, C, 3), np.uint8)
             hw = np.ones((batch_size, 2), np.int32)
-            oshapes, prescales = [], []
+            oshapes = [None] * len(idxs)
+            prescales = [None] * len(idxs)
+            # fast path: one threaded native call decodes the whole batch of
+            # JPEG paths into the canvas (bit-identical to the loop below);
+            # images it can't handle (ndarrays, non-JPEG) fall through.
+            done = [False] * len(idxs)
+            batch_paths = [index[i][0] for i in idxs]
+            if imagepipe.available() and all(
+                    isinstance(p, str) for p in batch_paths):
+                res = imagepipe.decode_to_canvas(batch_paths, C, out=canvases)
+                if res is not None:
+                    _, nhw, norig, ok = res
+                    for j in range(len(idxs)):
+                        if ok[j]:
+                            hw[j] = nhw[j]
+                            oh, ow = int(norig[j, 0]), int(norig[j, 1])
+                            oshapes[j] = (oh, ow)
+                            prescales[j] = (nhw[j, 1] / ow, nhw[j, 0] / oh)
+                            done[j] = True
+                        else:
+                            canvases[j] = 0
             for j, i in enumerate(idxs):
+                if done[j]:
+                    continue
                 path, _, _ = index[i]
                 img = read_image(path) if isinstance(path, str) else path
                 oh, ow = img.shape[:2]           # exact original, pre-resize
@@ -152,10 +176,10 @@ class DetectionAlgorithm:
                 h, w = img.shape[:2]
                 canvases[j, :h, :w] = img
                 hw[j] = (h, w)
-                oshapes.append((oh, ow))
+                oshapes[j] = (oh, ow)
                 # per-axis EFFECTIVE pre-shrink ratio (int truncation makes
                 # the two axes differ slightly)
-                prescales.append((w / ow, h / oh))
+                prescales[j] = (w / ow, h / oh)
             boxes_b, scores_b, classes_b, valid_b, scale_b, pad_b = \
                 jax.device_get(letterbox_and_infer(
                     variables, jnp.asarray(canvases), jnp.asarray(hw)))

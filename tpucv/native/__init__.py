@@ -18,6 +18,11 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _LOCK = threading.Lock()
 _LIBS: dict = {}
 
+# per-library extra link/compile flags
+_FLAGS = {
+    "imagepipe": ["-ljpeg", "-lpthread"],
+}
+
 
 def _build(name: str) -> str | None:
     src = os.path.join(_DIR, f"{name}.cpp")
@@ -31,7 +36,7 @@ def _build(name: str) -> str | None:
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", lib + ".tmp", src],
+             "-o", lib + ".tmp", src] + _FLAGS.get(name, []),
             check=True, capture_output=True, timeout=120)
         os.replace(lib + ".tmp", lib)
         return lib
