@@ -100,6 +100,13 @@ class DetectionDataset:
                 img, boxes, labels = self._eval_single(i)
             else:
                 img, boxes, labels = self._random_single(i)
+            if self.device_aug:
+                # host_aug flags samples already fully augmented on the host
+                # (mosaic, which ends in its own HSV jitter like the
+                # reference); the trainer neutralises the on-chip affine/HSV
+                # for them so mosaics are not double-augmented — the
+                # reference applies NO further aug after mosaic.
+                return img, *self._pad(boxes, labels), bool(use_mosaic)
         else:
             img, boxes, labels = self._eval_single(i)
         return img, *self._pad(boxes, labels)

@@ -29,14 +29,21 @@ import numpy as np
 
 
 def detection_collate(samples) -> Dict[str, np.ndarray]:
-    imgs, labels, masks = zip(*samples)
+    if len(samples[0]) == 4:                # device_aug: + host_aug flag
+        imgs, labels, masks, host_aug = zip(*samples)
+    else:
+        imgs, labels, masks = zip(*samples)
+        host_aug = None
     lab = np.stack(labels)
-    return {
+    out = {
         "images": np.stack(imgs),
         "gt_labels": lab[..., 0].astype(np.int32),
         "gt_bboxes": lab[..., 1:5],
         "gt_mask": np.stack(masks),
     }
+    if host_aug is not None:
+        out["host_aug"] = np.asarray(host_aug, bool)
+    return out
 
 
 def segmentation_collate(samples) -> Dict[str, np.ndarray]:

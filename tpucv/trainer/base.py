@@ -127,6 +127,7 @@ class BaseTrainer:
                      train: bool = False) -> Dict:
         batch = dict(batch)
         batch["images"] = batch["images"].astype(np.uint8)
+        host_aug = batch.pop("host_aug", None)
         use_dev_aug = (train and getattr(self.cfg.train, "device_aug", False)
                        and "gt_bboxes" in batch)
         if use_dev_aug:
@@ -140,11 +141,22 @@ class BaseTrainer:
             max_shift = np.maximum(S * (1.0 - scale), 0.0)
             shift = (rng.random((B, 2)).astype(np.float32)
                      * max_shift[:, None])
+            flip = rng.random(B) < 0.5
+            hsv = (1.0 + (rng.random((B, 3)) * 2 - 1)
+                   * np.array([0.1, 0.7, 0.4])).astype(np.float32)
+            if host_aug is not None:
+                # mosaic samples arrive fully augmented (incl. HSV) from the
+                # host, like the reference's mosaic path — neutralise the
+                # on-chip affine/HSV so they are not augmented twice
+                ha = np.asarray(host_aug, bool)
+                scale[ha] = 1.0
+                shift[ha] = 0.0
+                flip[ha] = False
+                hsv[ha] = 1.0
             batch["aug_scale"] = scale
             batch["aug_shift"] = shift
-            batch["aug_flip"] = rng.random(B) < 0.5
-            batch["aug_hsv"] = (1.0 + (rng.random((B, 3)) * 2 - 1)
-                                * np.array([0.1, 0.7, 0.4])).astype(np.float32)
+            batch["aug_flip"] = flip
+            batch["aug_hsv"] = hsv
         out = pmesh.shard_batch(batch, self.mesh)
         if use_dev_aug:
             if not hasattr(self, "_aug_fn"):
