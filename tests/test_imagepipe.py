@@ -127,19 +127,32 @@ def test_decode_to_canvas_failure_mask_and_prealloc(tmp_path):
     assert (prealloc[2] == 7).all()                 # rows past n untouched
 
 
-def test_decode_letterbox_matches_letter_box(tmp_path):
-    from tpucv.utils.image_process import letter_box, read_image
+def test_decode_parity_gate_disables_native(tmp_path, monkeypatch):
+    """If the system libjpeg ever decoded differently from cv2, the
+    one-time parity check must disable the whole native decode surface so
+    mixed native/cv2 batches can't drift off the parity path."""
     rng = np.random.default_rng(6)
-    sizes = [(480, 640), (640, 480), (100, 300)]
-    paths = [_jpg(tmp_path, f"l{i}.jpg", _rand_rgb(rng, h, w))
-             for i, (h, w) in enumerate(sizes)]
-    out, scale, pad, orig, ok = ip.decode_letterbox(paths, (640, 640))
-    assert ok.all()
-    for j, p in enumerate(paths):
-        ref, s, (px, py) = letter_box(read_image(p), (640, 640))
-        np.testing.assert_array_equal(out[j], ref)
-        assert abs(float(scale[j]) - s) < 1e-6
-        assert (int(pad[j, 0]), int(pad[j, 1])) == (px, py)
+    p = _jpg(tmp_path, "p.jpg", _rand_rgb(rng, 32, 32))
+    assert ip._decode_parity_ok()          # this host: turbo == turbo
+    monkeypatch.setitem(ip._PARITY, "ok", False)
+    assert not ip.available()
+    assert ip.decode_jpeg(p) is None
+    assert ip.decode_to_canvas([p], 64) is None
+
+
+def test_nearest_resize_rejects_non_rgb():
+    with pytest.raises(ValueError):
+        ip.nearest_resize(np.zeros((8, 8), np.uint8), (4, 4))
+
+
+def test_decode_to_canvas_rejects_bad_prealloc(tmp_path):
+    rng = np.random.default_rng(8)
+    p = _jpg(tmp_path, "b.jpg", _rand_rgb(rng, 16, 16))
+    with pytest.raises(ValueError):
+        ip.decode_to_canvas([p], 64, out=np.zeros((1, 32, 32, 3), np.uint8))
+    with pytest.raises(ValueError):
+        ip.decode_to_canvas(
+            [p], 64, out=np.zeros((1, 64, 64, 3), np.int32))
 
 
 @pytest.mark.slow

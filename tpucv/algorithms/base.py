@@ -143,7 +143,10 @@ class DetectionAlgorithm:
             batch_paths = [index[i][0] for i in idxs]
             if imagepipe.available() and all(
                     isinstance(p, str) for p in batch_paths):
-                res = imagepipe.decode_to_canvas(batch_paths, C, out=canvases)
+                # zero=False: canvases is freshly np.zeros'd and the native
+                # code leaves failed rows untouched
+                res = imagepipe.decode_to_canvas(
+                    batch_paths, C, out=canvases, zero=False)
                 if res is not None:
                     _, nhw, norig, ok = res
                     for j in range(len(idxs)):
@@ -153,8 +156,6 @@ class DetectionAlgorithm:
                             oshapes[j] = (oh, ow)
                             prescales[j] = (nhw[j, 1] / ow, nhw[j, 0] / oh)
                             done[j] = True
-                        else:
-                            canvases[j] = 0
             for j, i in enumerate(idxs):
                 if done[j]:
                     continue

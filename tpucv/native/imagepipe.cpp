@@ -64,11 +64,21 @@ void nearest_resize_rgb(const uint8_t* src, int sh, int sw, uint8_t* dst,
   }
 }
 
-// Decode one JPEG buffer to RGB uint8.  Returns true on success and fills
-// (pixels, h, w).  Grayscale JPEGs are expanded to RGB by libjpeg; CMYK and
-// malformed files fail (caller falls back to cv2 for that image).
-bool decode_jpeg_rgb(const uint8_t* data, size_t size,
-                     std::vector<uint8_t>* pixels, int* h, int* w) {
+// Guard against absurd header-declared dimensions (cv2 caps at 2^30 pixels
+// via CV_IO_MAX_IMAGE_PIXELS; a SOF can declare up to 65500x65500 = 12.9 GB
+// RGB).  64 MP is far beyond any detection input and bounds a per-thread
+// decode buffer at 192 MB.
+constexpr size_t kMaxPixels = 64u * 1024 * 1024;
+
+// Decode one JPEG buffer to RGB uint8.  Returns 1 on success and fills
+// (pixels, h, w); 0 on failure (malformed, CMYK, oversized — caller falls
+// back to cv2); -2 when `capacity` >= 0 and the image needs more than
+// `capacity` bytes (h/w are still filled; nothing is decoded, so the caller
+// can retry with an exact-size buffer after only a header parse).
+// Grayscale JPEGs are expanded to RGB by libjpeg.
+int decode_jpeg_rgb(const uint8_t* data, size_t size,
+                    std::vector<uint8_t>* pixels, int* h, int* w,
+                    int64_t capacity = -1) {
   jpeg_decompress_struct cinfo;
   ErrMgr err;
   cinfo.err = jpeg_std_error(&err.pub);
@@ -77,34 +87,48 @@ bool decode_jpeg_rgb(const uint8_t* data, size_t size,
   err.pub.output_message = err_silent_msg;
   if (setjmp(err.jb)) {
     jpeg_destroy_decompress(&cinfo);
-    return false;
+    return 0;
   }
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
                static_cast<unsigned long>(size));
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
     jpeg_destroy_decompress(&cinfo);
-    return false;
+    return 0;
+  }
+  const size_t W0 = cinfo.image_width, H0 = cinfo.image_height;
+  if (W0 == 0 || H0 == 0 || H0 * W0 > kMaxPixels) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  *h = static_cast<int>(H0);
+  *w = static_cast<int>(W0);
+  if (capacity >= 0 &&
+      static_cast<int64_t>(H0 * W0 * 3) > capacity) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
   }
   cinfo.out_color_space = JCS_RGB;  // gray -> RGB handled by libjpeg
   jpeg_start_decompress(&cinfo);
-  if (cinfo.output_components != 3) {
+  if (cinfo.output_components != 3 ||
+      cinfo.output_width != W0 || cinfo.output_height != H0) {
     jpeg_destroy_decompress(&cinfo);
-    return false;
+    return 0;
   }
-  const int W = static_cast<int>(cinfo.output_width);
-  const int H = static_cast<int>(cinfo.output_height);
-  pixels->resize(static_cast<size_t>(H) * W * 3);
+  try {
+    pixels->resize(H0 * W0 * 3);
+  } catch (const std::bad_alloc&) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     JSAMPROW row =
-        pixels->data() + static_cast<size_t>(cinfo.output_scanline) * W * 3;
+        pixels->data() + static_cast<size_t>(cinfo.output_scanline) * W0 * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  *h = H;
-  *w = W;
-  return true;
+  return 1;
 }
 
 bool read_file(const char* path, std::vector<uint8_t>* buf) {
@@ -161,11 +185,12 @@ int tpucv_decode_to_canvas(const char** paths, int n, int canvas,
                            uint8_t* ok, int n_threads) {
   std::atomic<int> n_ok(0);
   run_pool(n, n_threads, [&](int i) {
+   try {
     ok[i] = 0;
     std::vector<uint8_t> buf, pix;
     int h = 0, w = 0;
     if (!read_file(paths[i], &buf) ||
-        !decode_jpeg_rgb(buf.data(), buf.size(), &pix, &h, &w))
+        decode_jpeg_rgb(buf.data(), buf.size(), &pix, &h, &w) != 1)
       return;
     orig[2 * i] = h;
     orig[2 * i + 1] = w;
@@ -189,66 +214,32 @@ int tpucv_decode_to_canvas(const char** paths, int n, int canvas,
     hw[2 * i + 1] = w;
     ok[i] = 1;
     n_ok.fetch_add(1);
-  });
-  return n_ok.load();
-}
-
-// Full host letterbox (predict-path shape): decode + aspect-preserving
-// nearest resize onto a (out_h, out_w) canvas filled with `fill`, pads
-// centred — utils/image_process.py::letter_box geometry (scale =
-// min(W/w, H/h), int-truncated new dims, //2 pad offsets).  scale[i],
-// pad[2i]=px, pad[2i+1]=py, orig as above.  out: n*out_h*out_w*3, any
-// contents (fully overwritten).  Returns number decoded.
-int tpucv_decode_letterbox(const char** paths, int n, int out_h, int out_w,
-                           uint8_t fill, uint8_t* out, float* scale,
-                           int32_t* pad, int32_t* orig, uint8_t* ok,
-                           int n_threads) {
-  std::atomic<int> n_ok(0);
-  run_pool(n, n_threads, [&](int i) {
+   } catch (...) {  // e.g. bad_alloc on a huge file: fail just this image
     ok[i] = 0;
-    std::vector<uint8_t> buf, pix;
-    int h = 0, w = 0;
-    if (!read_file(paths[i], &buf) ||
-        !decode_jpeg_rgb(buf.data(), buf.size(), &pix, &h, &w))
-      return;
-    orig[2 * i] = h;
-    orig[2 * i + 1] = w;
-    const double s =
-        std::min(static_cast<double>(out_w) / w, static_cast<double>(out_h) / h);
-    const int nw = static_cast<int>(w * s), nh = static_cast<int>(h * s);
-    std::vector<uint8_t> resized(static_cast<size_t>(nh) * nw * 3);
-    nearest_resize_rgb(pix.data(), h, w, resized.data(), nh, nw);
-    uint8_t* dst = out + static_cast<size_t>(i) * out_h * out_w * 3;
-    std::memset(dst, fill, static_cast<size_t>(out_h) * out_w * 3);
-    const int px = (out_w - nw) / 2, py = (out_h - nh) / 2;
-    for (int y = 0; y < nh; ++y)
-      std::memcpy(dst + (static_cast<size_t>(py + y) * out_w + px) * 3,
-                  resized.data() + static_cast<size_t>(y) * nw * 3,
-                  static_cast<size_t>(nw) * 3);
-    scale[i] = static_cast<float>(s);
-    pad[2 * i] = px;
-    pad[2 * i + 1] = py;
-    ok[i] = 1;
-    n_ok.fetch_add(1);
+   }
   });
   return n_ok.load();
 }
 
 // Decode one JPEG file to RGB into caller memory (capacity bytes).  Returns
 // 0 on success and writes h/w, -1 on decode failure, -2 if capacity is too
-// small (h/w still written so the caller can retry with a bigger buffer).
+// small (h/w still written — only the header was parsed, so the caller can
+// retry with an exact-size buffer without paying a wasted full decode).
 int tpucv_decode_jpeg(const char* path, uint8_t* out, int64_t capacity,
-                      int32_t* h, int32_t* w) {
+                      int32_t* h, int32_t* w) try {
   std::vector<uint8_t> buf, pix;
   int hh = 0, ww = 0;
-  if (!read_file(path, &buf) ||
-      !decode_jpeg_rgb(buf.data(), buf.size(), &pix, &hh, &ww))
-    return -1;
+  if (!read_file(path, &buf)) return -1;
+  const int rc =
+      decode_jpeg_rgb(buf.data(), buf.size(), &pix, &hh, &ww, capacity);
+  if (rc == 0) return -1;
   *h = hh;
   *w = ww;
-  if (static_cast<int64_t>(pix.size()) > capacity) return -2;
+  if (rc == -2) return -2;
   std::memcpy(out, pix.data(), pix.size());
   return 0;
+} catch (...) {
+  return -1;
 }
 
 // Raw nearest resize (uint8 RGB HWC), cv2.resize INTER_NEAREST geometry —
