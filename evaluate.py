@@ -34,7 +34,14 @@ def main():
             ImageFolderIndex, SyntheticClsIndex)
         root = os.environ.get("TPUCV_CLS_ROOT", "")
         if root and os.path.isdir(os.path.join(root, args.subset)):
-            index = ImageFolderIndex(root, args.subset)
+            # pin class ids to the TRAIN split's listing (what the
+            # checkpoint's logits mean); a val tree with the same class
+            # count but different names would otherwise silently score
+            # images against the wrong logit
+            classes = None
+            if os.path.isdir(os.path.join(root, "train")):
+                classes = ImageFolderIndex(root, "train").classes
+            index = ImageFolderIndex(root, args.subset, classes=classes)
             if len(index.classes) != cfg.num_classes:
                 raise SystemExit(
                     f"folder tree has {len(index.classes)} classes but the "

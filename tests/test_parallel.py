@@ -208,6 +208,27 @@ def test_grad_accum_matches_full_batch():
                     jax.tree_util.tree_leaves(p4)):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
+    # batch-size-scaled loss (the YOLOv8-family mean*B convention): summed
+    # micro-grads must reproduce the full-batch step; the old averaging
+    # would shrink the effective LR by G
+    def loss_scaled(raw, batch):
+        B = raw.shape[0]
+        return jnp.mean((raw - batch["y"]) ** 2) * B, {}
+
+    def run_scaled(accum):
+        state = TrainState.create(variables["params"], {}, tx)
+        step = make_train_step(model.apply, loss_scaled, tx, donate=False,
+                               grad_accum=accum, loss_batch_scaled=True)
+        state, metrics = step(state, batch)
+        return jax.device_get(state.params), float(metrics["loss"])
+
+    ps1, ls1 = run_scaled(1)
+    ps4, ls4 = run_scaled(4)
+    assert abs(ls1 - ls4) < 1e-5 * max(abs(ls1), 1.0)
+    for a, b in zip(jax.tree_util.tree_leaves(ps1),
+                    jax.tree_util.tree_leaves(ps4)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
 
 def test_grad_accum_with_bn_trainer_smoke(tmp_path):
     """grad_accum through the production trainer on a BN model: runs and

@@ -107,6 +107,66 @@ class DetectionAlgorithm:
     def raw_canvas(self) -> int:
         return max(self.RAW_CANVAS, self.input_size)
 
+    def _fill_canvases(self, index, idxs, batch_size: int, C: int):
+        """Decode one eval batch onto fixed uint8 canvases (top-left),
+        nearest pre-shrinking images larger than C. Returns (canvases
+        (batch_size, C, C, 3), hw (batch_size, 2) placed dims, oshapes
+        original dims, prescales per-axis effective pre-shrink ratios).
+
+        Fast path: one threaded native call decodes the whole batch of JPEG
+        paths (tpucv/native/imagepipe.cpp, bit-identical to the python
+        loop); images it can't handle (ndarrays, non-JPEG) fall through to
+        read_image + cv2."""
+        from tpucv.native import imagepipe
+
+        canvases = np.zeros((batch_size, C, C, 3), np.uint8)
+        hw = np.ones((batch_size, 2), np.int32)
+        oshapes = [None] * len(idxs)
+        prescales = [None] * len(idxs)
+        done = [False] * len(idxs)
+        batch_paths = [index[i][0] for i in idxs]
+        if imagepipe.available() and all(
+                isinstance(p, str) for p in batch_paths):
+            # zero=False: canvases is freshly np.zeros'd and the native
+            # code leaves failed rows untouched
+            res = imagepipe.decode_to_canvas(
+                batch_paths, C, out=canvases, zero=False)
+            if res is not None:
+                _, nhw, norig, ok = res
+                for j in range(len(idxs)):
+                    if ok[j]:
+                        hw[j] = nhw[j]
+                        oh, ow = int(norig[j, 0]), int(norig[j, 1])
+                        oshapes[j] = (oh, ow)
+                        prescales[j] = (nhw[j, 1] / ow, nhw[j, 0] / oh)
+                        done[j] = True
+        for j, i in enumerate(idxs):
+            if done[j]:
+                continue
+            path, _, _ = index[i]
+            img = read_image(path) if isinstance(path, str) else path
+            oh, ow = img.shape[:2]               # exact original, pre-resize
+            if oh > C or ow > C:
+                # rare: pre-shrink on host so the raw fits the canvas.
+                # INTER_NEAREST keeps the whole pipeline in one resampling
+                # family — the chip letterbox is nearest too, and the
+                # reference's single-host letterbox is INTER_NEAREST
+                # (core/utils/image_process.py:48-66) — so oversized images
+                # stay on the parity path (ADVICE r2).
+                import cv2
+                pre = C / max(oh, ow)
+                img = cv2.resize(
+                    img, (int(ow * pre), int(oh * pre)),
+                    interpolation=cv2.INTER_NEAREST)
+            h, w = img.shape[:2]
+            canvases[j, :h, :w] = img
+            hw[j] = (h, w)
+            oshapes[j] = (oh, ow)
+            # per-axis EFFECTIVE pre-shrink ratio (int truncation makes the
+            # two axes differ slightly)
+            prescales[j] = (w / ow, h / oh)
+        return canvases, hw, oshapes, prescales
+
     def _batched_detections(self, variables, index, batch_size: int,
                             conf_threshold: float):
         """Batched eval loop with the letterbox ON DEVICE: the host ships
@@ -117,70 +177,31 @@ class DetectionAlgorithm:
         core/utils/image_process.py:48-66 + core/algorithms/yolo_v8.py:345)."""
         from tpucv.ops.preprocess import letterbox_images
 
-        infer = self.make_infer_fn(conf_threshold=conf_threshold)
         s = self.input_size
         C = self.raw_canvas
+        # cache the jitted program per conf threshold: in-training mAP
+        # (trainer.evaluate_map) calls this every eval epoch, and a fresh
+        # closure would recompile the full decode+NMS graph each time
+        cache = getattr(self, "_eval_jit_cache", None)
+        if cache is None:
+            cache = self._eval_jit_cache = {}
+        letterbox_and_infer = cache.get(("det", float(conf_threshold)))
+        if letterbox_and_infer is None:
+            infer = self.make_infer_fn(conf_threshold=conf_threshold)
 
-        @jax.jit
-        def letterbox_and_infer(variables, canvases, hw):
-            lb, scale, pad = letterbox_images(canvases, hw, s)
-            boxes, scores, classes, valid = infer(variables, lb)
-            return boxes, scores, classes, valid, scale, pad
+            @jax.jit
+            def letterbox_and_infer(variables, canvases, hw):
+                lb, scale, pad = letterbox_images(canvases, hw, s)
+                boxes, scores, classes, valid = infer(variables, lb)
+                return boxes, scores, classes, valid, scale, pad
 
-        from tpucv.native import imagepipe
+            cache[("det", float(conf_threshold))] = letterbox_and_infer
 
         n = len(index)
         for start in range(0, n, batch_size):
             idxs = list(range(start, min(start + batch_size, n)))
-            canvases = np.zeros((batch_size, C, C, 3), np.uint8)
-            hw = np.ones((batch_size, 2), np.int32)
-            oshapes = [None] * len(idxs)
-            prescales = [None] * len(idxs)
-            # fast path: one threaded native call decodes the whole batch of
-            # JPEG paths into the canvas (bit-identical to the loop below);
-            # images it can't handle (ndarrays, non-JPEG) fall through.
-            done = [False] * len(idxs)
-            batch_paths = [index[i][0] for i in idxs]
-            if imagepipe.available() and all(
-                    isinstance(p, str) for p in batch_paths):
-                # zero=False: canvases is freshly np.zeros'd and the native
-                # code leaves failed rows untouched
-                res = imagepipe.decode_to_canvas(
-                    batch_paths, C, out=canvases, zero=False)
-                if res is not None:
-                    _, nhw, norig, ok = res
-                    for j in range(len(idxs)):
-                        if ok[j]:
-                            hw[j] = nhw[j]
-                            oh, ow = int(norig[j, 0]), int(norig[j, 1])
-                            oshapes[j] = (oh, ow)
-                            prescales[j] = (nhw[j, 1] / ow, nhw[j, 0] / oh)
-                            done[j] = True
-            for j, i in enumerate(idxs):
-                if done[j]:
-                    continue
-                path, _, _ = index[i]
-                img = read_image(path) if isinstance(path, str) else path
-                oh, ow = img.shape[:2]           # exact original, pre-resize
-                if oh > C or ow > C:
-                    # rare: pre-shrink on host so the raw fits the canvas.
-                    # INTER_NEAREST keeps the whole pipeline in one
-                    # resampling family — the chip letterbox is nearest too,
-                    # and the reference's single-host letterbox is
-                    # INTER_NEAREST (core/utils/image_process.py:48-66) —
-                    # so oversized images stay on the parity path (ADVICE r2).
-                    import cv2
-                    pre = C / max(oh, ow)
-                    img = cv2.resize(
-                        img, (int(ow * pre), int(oh * pre)),
-                        interpolation=cv2.INTER_NEAREST)
-                h, w = img.shape[:2]
-                canvases[j, :h, :w] = img
-                hw[j] = (h, w)
-                oshapes[j] = (oh, ow)
-                # per-axis EFFECTIVE pre-shrink ratio (int truncation makes
-                # the two axes differ slightly)
-                prescales[j] = (w / ow, h / oh)
+            canvases, hw, oshapes, prescales = self._fill_canvases(
+                index, idxs, batch_size, C)
             boxes_b, scores_b, classes_b, valid_b, scale_b, pad_b = \
                 jax.device_get(letterbox_and_infer(
                     variables, jnp.asarray(canvases), jnp.asarray(hw)))

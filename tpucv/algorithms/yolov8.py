@@ -19,6 +19,19 @@ from tpucv.ops.preprocess import normalize_images
 from tpucv.registry import model_registry
 
 
+def yolo_decode_args(cfg, nc: int, conf_threshold: Optional[float]) -> dict:
+    """Shared decode-kwarg policy for the YOLOv8 family (det/seg/pose):
+    predict-style confidences (0.25) gate candidates down to a few hundred,
+    so cap k at 1024 and take the VMEM Pallas NMS; eval-style floods
+    (conf=0.001) use the full cfg cap + scan NMS."""
+    d = cfg.decode
+    conf = d.conf_threshold if conf_threshold is None else conf_threshold
+    topk = d.pre_nms_topk if conf < 0.01 else min(d.pre_nms_topk, 1024)
+    return dict(nc=nc, reg_max=cfg.arch.reg_max, strides=cfg.arch.strides,
+                conf_threshold=conf, iou_threshold=d.iou_threshold,
+                max_det=d.max_det, pre_nms_topk=topk)
+
+
 @model_registry("yolo8_det")
 class YOLOv8(DetectionAlgorithm):
     def __init__(self, cfg):
@@ -43,21 +56,12 @@ class YOLOv8(DetectionAlgorithm):
 
     def make_infer_fn(self, model=None, conf_threshold: Optional[float] = None):
         model = model or self.build_model()
-        d = self.cfg.decode
-        conf = d.conf_threshold if conf_threshold is None else conf_threshold
-        # predict-style confidences (0.25) gate candidates down to a few
-        # hundred, so cap k at 1024 and take the VMEM Pallas NMS; eval-style
-        # floods (conf=0.001) use the full cfg cap + scan NMS
-        topk = d.pre_nms_topk if conf < 0.01 else min(d.pre_nms_topk, 1024)
+        kw = yolo_decode_args(self.cfg, self.nc, conf_threshold)
 
         @jax.jit
         def infer(variables, images_u8):
             x = normalize_images(images_u8, self.dtype)
             raw = model.apply(variables, x)
-            return decode_boxes(
-                raw, nc=self.nc, reg_max=self.cfg.arch.reg_max,
-                strides=self.cfg.arch.strides,
-                conf_threshold=conf, iou_threshold=d.iou_threshold,
-                max_det=d.max_det, pre_nms_topk=topk)
+            return decode_boxes(raw, **kw)
 
         return infer

@@ -49,14 +49,10 @@ class YOLOv8Pose(DetectionAlgorithm):
         return loss_fn
 
     def _decode_args(self, conf_threshold):
-        d = self.cfg.decode
-        conf = d.conf_threshold if conf_threshold is None else conf_threshold
-        topk = d.pre_nms_topk if conf < 0.01 else min(d.pre_nms_topk, 1024)
-        return dict(kpt_shape=tuple(self.cfg.arch.kpt_shape), nc=self.nc,
-                    reg_max=self.cfg.arch.reg_max,
-                    strides=self.cfg.arch.strides, conf_threshold=conf,
-                    iou_threshold=d.iou_threshold, max_det=d.max_det,
-                    pre_nms_topk=topk)
+        from tpucv.algorithms.yolov8 import yolo_decode_args
+        kw = yolo_decode_args(self.cfg, self.nc, conf_threshold)
+        kw["kpt_shape"] = tuple(self.cfg.arch.kpt_shape)
+        return kw
 
     def make_infer_fn(self, model=None, conf_threshold: Optional[float] = None):
         """Boxes-only contract for the shared eval harness."""
@@ -94,42 +90,36 @@ class YOLOv8Pose(DetectionAlgorithm):
                                  conf_threshold: float):
         """Pose twin of the base batched eval loop (algorithms/base.py):
         device-side letterbox + forward + decode, plus the keypoint outputs,
-        with boxes AND keypoints mapped back to original image coords."""
+        with boxes AND keypoints mapped back to original image coords. The
+        per-batch canvas fill (incl. the native threaded JPEG decode) is
+        shared with the base harness via _fill_canvases."""
         import jax
         import jax.numpy as jnp
         from tpucv.ops.preprocess import letterbox_images
-        from tpucv.utils.image_process import read_image, reverse_letter_box
+        from tpucv.utils.image_process import reverse_letter_box
 
-        infer = self.make_pose_infer_fn(conf_threshold=conf_threshold)
         s = self.input_size
         C = self.raw_canvas
+        cache = getattr(self, "_eval_jit_cache", None)
+        if cache is None:
+            cache = self._eval_jit_cache = {}
+        letterbox_and_infer = cache.get(("pose", float(conf_threshold)))
+        if letterbox_and_infer is None:
+            infer = self.make_pose_infer_fn(conf_threshold=conf_threshold)
 
-        @jax.jit
-        def letterbox_and_infer(variables, canvases, hw):
-            lb, scale, pad = letterbox_images(canvases, hw, s)
-            boxes, scores, classes, valid, kpts = infer(variables, lb)
-            return boxes, scores, classes, valid, kpts, scale, pad
+            @jax.jit
+            def letterbox_and_infer(variables, canvases, hw):
+                lb, scale, pad = letterbox_images(canvases, hw, s)
+                boxes, scores, classes, valid, kpts = infer(variables, lb)
+                return boxes, scores, classes, valid, kpts, scale, pad
+
+            cache[("pose", float(conf_threshold))] = letterbox_and_infer
 
         n = len(index)
         for start in range(0, n, batch_size):
             idxs = list(range(start, min(start + batch_size, n)))
-            canvases = np.zeros((batch_size, C, C, 3), np.uint8)
-            hw = np.ones((batch_size, 2), np.int32)
-            oshapes, prescales = [], []
-            for j, i in enumerate(idxs):
-                path, _, _ = index[i]
-                img = read_image(path) if isinstance(path, str) else path
-                oh, ow = img.shape[:2]
-                if oh > C or ow > C:
-                    import cv2
-                    pre = C / max(oh, ow)
-                    img = cv2.resize(img, (int(ow * pre), int(oh * pre)),
-                                     interpolation=cv2.INTER_NEAREST)
-                h, w = img.shape[:2]
-                canvases[j, :h, :w] = img
-                hw[j] = (h, w)
-                oshapes.append((oh, ow))
-                prescales.append((w / ow, h / oh))
+            canvases, hw, oshapes, prescales = self._fill_canvases(
+                index, idxs, batch_size, C)
             boxes_b, scores_b, classes_b, valid_b, kpts_b, scale_b, pad_b = \
                 jax.device_get(letterbox_and_infer(
                     variables, jnp.asarray(canvases), jnp.asarray(hw)))

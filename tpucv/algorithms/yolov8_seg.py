@@ -47,13 +47,8 @@ class YOLOv8Seg(DetectionAlgorithm):
         return loss_fn
 
     def _decode_args(self, conf_threshold):
-        d = self.cfg.decode
-        conf = d.conf_threshold if conf_threshold is None else conf_threshold
-        topk = d.pre_nms_topk if conf < 0.01 else min(d.pre_nms_topk, 1024)
-        return dict(nc=self.nc, reg_max=self.cfg.arch.reg_max,
-                    strides=self.cfg.arch.strides, conf_threshold=conf,
-                    iou_threshold=d.iou_threshold, max_det=d.max_det,
-                    pre_nms_topk=topk)
+        from tpucv.algorithms.yolov8 import yolo_decode_args
+        return yolo_decode_args(self.cfg, self.nc, conf_threshold)
 
     def make_infer_fn(self, model=None, conf_threshold: Optional[float] = None):
         """Boxes-only contract for the shared eval harness."""

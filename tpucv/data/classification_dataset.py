@@ -33,6 +33,8 @@ class ImageFolderIndex:
         self.samples: List[Tuple[str, int]] = []
         for c in self.classes:
             cdir = os.path.join(split_dir, c)
+            if not os.path.isdir(cdir):   # pinned class absent in this split
+                continue
             for f in sorted(os.listdir(cdir)):
                 if f.lower().endswith(IMG_EXTS):
                     self.samples.append((os.path.join(cdir, f),

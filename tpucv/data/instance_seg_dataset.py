@@ -19,13 +19,15 @@ import numpy as np
 
 
 class InstanceSegDataset:
+    # train/eval items are identical (plain letterbox; augmentation would
+    # have to transform the instance masks too — not implemented)
     def __init__(self, index, input_size: int, max_boxes: int,
                  mask_down: int = 4, train: bool = False):
+        del train
         self.index = index
         self.size = input_size
         self.max_boxes = max_boxes
         self.mask_down = mask_down
-        self.train = train
 
     def __len__(self):
         return len(self.index)

@@ -25,9 +25,11 @@ from tpucv.losses.yolov8 import yolov8_loss
 from tpucv.ops.anchors import make_anchors
 
 # COCO 17-keypoint OKS sigmas (pycocotools / ultralytics constant)
-OKS_SIGMA_17 = np.array(
-    [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62, 1.07, 1.07,
-     .87, .87, .89, .89], np.float32) / 10.0
+# one canonical copy of the 17-keypoint OKS sigma table (pycocotools'),
+# shared with the eval engine so loss and metric can't drift apart
+from tpucv.metrics.coco_map import OKS_SIGMAS
+
+OKS_SIGMA_17 = OKS_SIGMAS.astype(np.float32)
 
 
 def decode_kpts_flat(kpt_maps: Sequence[jax.Array], kpt_shape,

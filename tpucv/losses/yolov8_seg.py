@@ -45,7 +45,10 @@ def yolov8_seg_loss(
     B = det_maps[0].shape[0]
     Hm, Wm = protos.shape[1:3]
     nm = protos.shape[-1]
-    S = strides[0] * det_maps[0].shape[1]          # input pixels
+    # input pixels per axis (NHWC maps: shape[1]=H, shape[2]=W) — keep the
+    # axes separate so rectangular inputs crop against the right region
+    Sh = strides[0] * det_maps[0].shape[1]
+    Sw = strides[0] * det_maps[0].shape[2]
 
     det_total, metrics, aux = yolov8_loss(
         det_maps, gt_labels, gt_bboxes, gt_mask, nc=nc, reg_max=reg_max,
@@ -82,7 +85,7 @@ def yolov8_seg_loss(
     bce = sigmoid_bce(pred, tgt)                                # (B,K,Hm,Wm)
 
     # crop to the assigned box at proto resolution; normalise by box area
-    bx = sel_boxes * jnp.asarray([Wm / S, Hm / S, Wm / S, Hm / S])
+    bx = sel_boxes * jnp.asarray([Wm / Sw, Hm / Sh, Wm / Sw, Hm / Sh])
     cx = jnp.arange(Wm, dtype=jnp.float32)[None, None, None, :]
     cy = jnp.arange(Hm, dtype=jnp.float32)[None, None, :, None]
     x1, y1, x2, y2 = (bx[..., i][..., None, None] for i in range(4))

@@ -65,9 +65,11 @@ def process_mask_native(protos, coefs, boxes, dst_hw, input_hw=None):
     dh, dw = dst_hw
     gain = min(hp / dh, wp / dw)
     ph, pw = hp - dh * gain, wp - dw * gain      # total pad at proto scale
-    top, left = int(round(ph / 2 - 0.1)), int(round(pw / 2 - 0.1))
-    bottom = hp - int(round(ph / 2 + 0.1))
-    right = wp - int(round(pw / 2 + 0.1))
+    # reference convention exactly (ultralytics_ops.py:627-629): plain int
+    # truncation on both edges — at odd total pads this differs from the
+    # newer round(±0.1) ultralytics variant by one row/col
+    top, left = int(ph / 2), int(pw / 2)
+    bottom, right = int(hp - ph / 2), int(wp - pw / 2)
     masks = masks[:, top:bottom, left:right]
     masks = jax.image.resize(masks, (masks.shape[0], dh, dw), "bilinear")
     return crop_mask(masks, boxes)

@@ -53,6 +53,7 @@ def make_train_step(
     donate: bool = True,
     state_sharding=None,
     grad_accum: int = 1,
+    loss_batch_scaled: bool = False,
 ):
     """Build a jitted train step.
 
@@ -64,8 +65,14 @@ def make_train_step(
     keeps e.g. ZeRO-sharded optimizer moments in their layout across steps
     instead of letting propagation reshard them.
     ``grad_accum``: G > 1 splits the batch into G sequential micro-batches
-    (lax.scan), averaging gradients/metrics before the single optimizer
-    update — activation memory drops ~G-fold at the same effective batch.
+    (lax.scan) before the single optimizer update — activation memory drops
+    ~G-fold at the same effective batch.
+    ``loss_batch_scaled``: set True when ``loss_fn`` scales with the batch
+    size (the YOLOv8-family ``mean * B`` losses): micro-gradients are then
+    SUMMED (and the logged loss summed), which reproduces the gradient of
+    one full-batch step. For mean-style losses (default False) they are
+    averaged, which is the full-batch gradient for that convention.
+    Getting this wrong scales the effective learning rate by G.
     Batch-stat models thread their stats through the micro-steps (same
     semantics as torch accumulation loops).
     """
@@ -109,8 +116,12 @@ def make_train_step(
             (g_sum, new_bs), (losses, metricss) = jax.lax.scan(
                 body, (zeros, state.batch_stats),
                 (micro, jnp.arange(G)))
-            grads = jax.tree_util.tree_map(lambda g: g / G, g_sum)
-            loss = losses.mean()
+            if loss_batch_scaled:
+                grads = g_sum                  # Σ of B/G-scaled micro-grads
+                loss = losses.sum()            # == mean_full * B
+            else:
+                grads = jax.tree_util.tree_map(lambda g: g / G, g_sum)
+                loss = losses.mean()
             metrics = jax.tree_util.tree_map(lambda m: m.mean(), metricss)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -53,6 +53,11 @@ class MeanMetric:
 
 
 class BaseTrainer:
+    # True for trainers whose loss scales with the batch size (the YOLOv8
+    # family's ``mean * B``); controls how grad_accum combines micro-grads
+    # (see train/state.py make_train_step).
+    LOSS_BATCH_SCALED = False
+
     def __init__(self, cfg, use_synthetic_fallback: bool = True):
         self.cfg = cfg
         self.use_synthetic_fallback = use_synthetic_fallback
@@ -236,7 +241,8 @@ class BaseTrainer:
             train_step = make_train_step(
                 self.model.apply, self.loss_fn, self.tx,
                 ema_decay=cfg.optimizer.ema_decay,
-                state_sharding=plan, grad_accum=accum)
+                state_sharding=plan, grad_accum=accum,
+                loss_batch_scaled=self.LOSS_BATCH_SCALED)
 
             self.logger.info(f"config: {cfg}")
             global_step = start_epoch * len(self.train_loader)
@@ -338,6 +344,9 @@ class BaseTrainer:
                 result_dir=os.path.join(self.cfg.log.root, "eval"),
                 verbose=False)
             return {"map": stats["AP"], "map50": stats["AP50"]}
+        if not hasattr(algo, "evaluate_on_voc"):
+            # non-detection algorithm (classification): no mAP protocol
+            return {}
         res = algo.evaluate_on_voc(
             variables, index, batch_size=bs, conf_threshold=conf,
             verbose=False)

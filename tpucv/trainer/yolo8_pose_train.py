@@ -16,6 +16,8 @@ from tpucv.trainer.base import BaseTrainer
 
 @trainer_registry("yolo8_pose")
 class Yolo8PoseTrainer(BaseTrainer):
+    LOSS_BATCH_SCALED = True    # det total and kpt terms both scale by B
+
     def set_model_algorithm(self):
         from tpucv.algorithms.yolov8_pose import YOLOv8Pose
         self.algorithm = YOLOv8Pose(self.cfg)

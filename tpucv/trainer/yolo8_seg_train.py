@@ -20,6 +20,8 @@ from tpucv.trainer.base import BaseTrainer
 
 @trainer_registry("yolo8_seg")
 class Yolo8SegTrainer(BaseTrainer):
+    LOSS_BATCH_SCALED = True    # det total and mask term both scale by B
+
     def set_model_algorithm(self):
         from tpucv.algorithms.yolov8_seg import YOLOv8Seg
         self.algorithm = YOLOv8Seg(self.cfg)
@@ -62,7 +64,6 @@ class Yolo8SegTrainer(BaseTrainer):
         # the seg batch carries gt_inst_masks which the on-device affine
         # augment does not transform — force the plain normalize path
         batch = dict(batch)
-        batch.pop("aug", None)
         saved = getattr(self.cfg.train, "device_aug", False)
         self.cfg.train.device_aug = False
         try:

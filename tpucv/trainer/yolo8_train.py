@@ -9,6 +9,8 @@ from tpucv.trainer.data_helpers import build_detection_loaders
 
 @trainer_registry("yolo8_det")
 class Yolo8Trainer(BaseTrainer):
+    LOSS_BATCH_SCALED = True    # yolov8_loss returns mean * B
+
     def set_model_algorithm(self):
         from tpucv.algorithms.yolov8 import YOLOv8
         self.algorithm = YOLOv8(self.cfg)

@@ -7,6 +7,7 @@ normalise lives in ``tpucv.ops.preprocess`` so the hot path stays on-chip.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import numpy as np
@@ -25,10 +26,13 @@ def read_image(path: str) -> np.ndarray:
     straight to RGB, bit-identical to cv2 decode+convert and ~8% faster
     single-core); anything it can't handle (PNG, CMYK, corrupt) falls back
     to cv2."""
-    from tpucv.native import imagepipe
-    img = imagepipe.decode_jpeg(str(path))
-    if img is not None:
-        return img
+    path = str(path)
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".jpg", ".jpeg"):        # don't double-read non-JPEG files
+        from tpucv.native import imagepipe
+        img = imagepipe.decode_jpeg(path)
+        if img is not None:
+            return img
     img = cv2.imread(str(path), cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
     if img is None:
         raise FileNotFoundError(f"could not read image: {path}")
