@@ -103,6 +103,25 @@ def test_evaluate_top1_top5():
     assert res["top5"] == 1.0       # nc=4 <= 5: always within top-5
 
 
+def test_evaluate_map_noop_for_classification(tmp_path):
+    """train.eval_map=True on a classification trainer must be a no-op
+    (there is no detection mAP protocol), not an AttributeError crash
+    mid-training (code review r3)."""
+    cfg, _, trainer_cls = _tiny_cfg()
+    cfg.train.eval_map = True
+    cfg.train.save_path = str(tmp_path / "saves")
+    cfg.log.root = str(tmp_path / "log")
+    trainer = trainer_cls(cfg)
+    assert trainer.val_index is not None
+
+    class FakeState:
+        params = {}
+        batch_stats = {}
+        ema_params = None
+
+    assert trainer.evaluate_map(FakeState()) == {}
+
+
 @pytest.mark.slow
 def test_vit_one_train_step_and_eval(tmp_path):
     cfg, _, trainer_cls = _tiny_cfg()
