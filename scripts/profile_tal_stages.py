@@ -37,13 +37,16 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     B, M, A, nc = 128, 32, 8400, 80
-    rng = np.random.default_rng(0)
-    ps = jax.device_put(rng.random((B, A, nc), dtype=np.float32)).astype(jnp.bfloat16)
-    pb = jax.device_put(rng.uniform(0, 640, (B, A, 4)).astype(np.float32))
-    anc = jax.device_put(rng.uniform(0, 640, (A, 2)).astype(np.float32))
-    gl = jax.device_put(rng.integers(0, nc, (B, M)).astype(np.int32))
-    gb = jax.device_put(rng.uniform(0, 640, (B, M, 4)).astype(np.float32))
-    gm = jax.device_put(np.ones((B, M), bool))
+    # inputs generated ON DEVICE: a 344 MB device_put through the relay's
+    # degraded H2D state (~0.02 GB/s) takes hours (see docs/performance.md
+    # relay caveats)
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    ps = jax.random.uniform(ks[0], (B, A, nc), jnp.float32).astype(jnp.bfloat16)
+    pb = jax.random.uniform(ks[1], (B, A, 4), jnp.float32) * 640
+    anc = jax.random.uniform(ks[2], (A, 2), jnp.float32) * 640
+    gl = jax.random.randint(ks[3], (B, M), 0, nc, jnp.int32)
+    gb = jax.random.uniform(ks[4], (B, M, 4), jnp.float32) * 640
+    gm = jnp.ones((B, M), bool)
     cdt = jnp.bfloat16
 
     @jax.jit
