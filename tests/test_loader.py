@@ -43,6 +43,27 @@ def test_mp_matches_thread(num_workers):
     _assert_batches_equal(ref, got)
 
 
+def test_device_aug_host_aug_key_through_mp_loader():
+    """device_aug samples carry a 4th host_aug element; the collate turns
+    it into a (B,) bool key that must survive the shared-memory worker path
+    identically to the thread path (mosaic flags drive aug neutralisation
+    in the trainer, so a wrong flag silently double-augments)."""
+    def make():
+        return DetectionDataset(
+            SyntheticDetectionIndex(n=12, image_size=64, seed=5),
+            input_size=64, max_boxes=8, seed=5, train=True,
+            mosaic_prob=0.5, device_aug=True)
+
+    kw = dict(batch_size=4, shuffle=True, seed=2, drop_last=True)
+    ref = _collect(Loader(make(), **kw))
+    got = _collect(Loader(make(), num_workers=2, **kw))
+    assert all("host_aug" in b and b["host_aug"].dtype == bool for b in ref)
+    # mosaic_prob=0.5 over 12 samples: both flag values should occur
+    flags = np.concatenate([b["host_aug"] for b in ref])
+    assert flags.any() and not flags.all()
+    _assert_batches_equal(ref, got)
+
+
 def test_epoch_reshuffle_and_set_epoch():
     ds = SyntheticDetectionDataset(num_samples=16, image_size=64, seed=0)
     ld = Loader(ds, batch_size=4, shuffle=True, seed=1, num_workers=2)
