@@ -55,3 +55,31 @@ def test_native_empty_gts():
     b = COCOMeanAP([], dts, cats).accumulate(use_native=True)
     np.testing.assert_allclose(a.precision, b.precision, atol=1e-12)
     np.testing.assert_allclose(a.recall, b.recall, atol=1e-12)
+
+
+def test_native_refuses_overridden_matching_hooks():
+    """A subclass customising _iou/_dt_area/_gt_extra_ignore must NOT take
+    the bbox-only C++ path (code review r3: it would silently compute the
+    bbox protocol); overriding only the protocol PARAMETERS keeps it."""
+    gts, dts, cats = _fuzz(0)
+
+    class CustomIoU(COCOMeanAP):
+        def _iou(self, dts_, gts_, iscrowd):
+            return super()._iou(dts_, gts_, iscrowd)  # same math, overridden
+
+    assert not CustomIoU(gts, dts, cats)._accumulate_native()
+    with pytest.raises(RuntimeError):
+        CustomIoU(gts, dts, cats).accumulate(use_native=True)
+    # numpy fallback still yields the standard result
+    a = CustomIoU(gts, dts, cats).accumulate()
+    b = COCOMeanAP(gts, dts, cats).accumulate(use_native=False)
+    np.testing.assert_allclose(a.precision, b.precision, atol=1e-12)
+
+    class CustomParams(COCOMeanAP):    # parameters pass through to the C core
+        max_dets = (1, 10, 50)
+
+    n = CustomParams(gts, dts, cats).accumulate(use_native=True)
+    f = CustomParams(gts, dts, cats).accumulate(use_native=False)
+    assert n.precision.shape == f.precision.shape
+    np.testing.assert_allclose(n.precision, f.precision, atol=1e-12)
+    np.testing.assert_allclose(n.recall, f.recall, atol=1e-12)

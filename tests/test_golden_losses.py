@@ -285,3 +285,43 @@ def test_yolov8_loss_golden(ref_yolov8):
         float(j_parts["dfl_loss"]) * cfg.loss.dfl, float(r_parts[2]),
         rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(float(j_total), float(r_total), rtol=1e-4)
+
+
+def test_select_highest_overlaps_golden_multi_claim():
+    """Multi-claim resolution parity with the reference
+    (core/utils/bboxes.py:249-272): a multi-claim anchor's column is
+    replaced by the one-hot of argmax over the RAW overlaps across ALL GT
+    rows — which can reassign the anchor to a GT that never claimed it.
+    Engineered so GT2 (a non-claimant) has the highest overlap at the
+    contested anchor (code review r3 caught a masked-argmax shortcut that
+    diverged exactly there)."""
+    import torch
+    from core.utils.bboxes import select_highest_overlaps as ref_sho
+    from tpucv.losses.tal import select_highest_overlaps
+
+    rng = np.random.default_rng(3)
+    B, M, A = 2, 4, 12
+    mask_pos = np.zeros((B, M, A), np.float32)
+    # anchor 5 of image 0 claimed by GT0 and GT1; anchor 2 single-claim
+    mask_pos[0, 0, 5] = 1
+    mask_pos[0, 1, 5] = 1
+    mask_pos[0, 2, 2] = 1
+    # image 1: three-way claim on anchor 7
+    mask_pos[1, 0, 7] = 1
+    mask_pos[1, 1, 7] = 1
+    mask_pos[1, 3, 7] = 1
+    overlaps = rng.random((B, M, A)).astype(np.float32) * 0.5
+    overlaps[0, 2, 5] = 0.9      # NON-claimant GT2 wins the raw argmax
+    overlaps[1, 1, 7] = 0.95     # claimant GT1 wins
+
+    r_idx, r_fg, r_mask = ref_sho(
+        torch.from_numpy(mask_pos), torch.from_numpy(overlaps), M)
+    j_idx, j_fg, j_mask = select_highest_overlaps(
+        mask_pos, overlaps.astype(np.float32), M)
+
+    np.testing.assert_array_equal(np.asarray(j_mask), r_mask.numpy())
+    np.testing.assert_array_equal(
+        np.asarray(j_fg).astype(np.float32), r_fg.numpy())
+    np.testing.assert_array_equal(np.asarray(j_idx), r_idx.numpy())
+    # the divergence case: anchor 5 went to the non-claimant GT2
+    assert int(np.asarray(j_idx)[0, 5]) == 2

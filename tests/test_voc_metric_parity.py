@@ -232,3 +232,32 @@ def test_full_e2e_published_map_parity(synthetic_voc, tmp_path, monkeypatch):
     # box parity is ~2e-4 (golden pipeline); residual mAP drift comes from
     # the reference's int-truncated txt coords and near-tied noise scores
     assert res["mAP"] == pytest.approx(ref_map, abs=0.02)
+
+
+def test_lamr_matches_reference_formula():
+    """log_average_miss_rate == the reference's (mAP.py:34-71) for the same
+    inputs — incl. the true-fp_cumsum FPPI (a detection matched to a
+    difficult GT contributes neither tp nor fp; reconstructing fp from
+    precision would inflate FPPI, code review r3)."""
+    from core.metrics.mAP import log_average_miss_rate as ref_lamr
+    from tpucv.metrics.voc_map import log_average_miss_rate
+
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        n = int(rng.integers(1, 40))
+        tp = (rng.random(n) < 0.5).astype(float)
+        ignored = (rng.random(n) < 0.2) & (tp == 0)   # difficult matches
+        fp = ((tp == 0) & ~ignored).astype(float)
+        tp_c, fp_c = np.cumsum(tp), np.cumsum(fp)
+        n_pos = max(int(tp.sum()) + int(rng.integers(0, 4)), 1)
+        rec = tp_c / n_pos
+        n_images = int(rng.integers(1, 10))
+        r_lamr, r_mr, r_fppi = ref_lamr(np.array(rec), fp_c, n_images)
+        j_lamr, j_mr, j_fppi = log_average_miss_rate(
+            np.array(rec), fp_c, n_images)
+        assert j_lamr == pytest.approx(float(r_lamr), abs=1e-12)
+        np.testing.assert_allclose(j_mr, np.asarray(r_mr))
+        np.testing.assert_allclose(j_fppi, np.asarray(r_fppi))
+    # empty case
+    assert log_average_miss_rate(np.array([]), np.array([]), 3) \
+        == tuple(ref_lamr(np.array([]), np.array([]), 3))

@@ -55,7 +55,6 @@ def decode_boxes(
     surviving candidates — 8x less decode bandwidth than decoding all 8400
     anchors. Returns fixed-shape (boxes (B,max_det,4) xyxy px, scores,
     classes, valid)."""
-    from tpucv.ops.nms import nms_fixpoint
     from tpucv.ops.boxes import xywh2xyxy
 
     feat_shapes = [m.shape[1:3] for m in raw_maps]
@@ -92,24 +91,10 @@ def decode_boxes(
     top_cls = best_cls[bi, top_idx]
 
     off = boxes + top_cls[..., None].astype(boxes.dtype) * 7680.0
-    if jax.default_backend() == "tpu" and k <= 1024:
-        # VMEM-resident fixpoint kernel (exact greedy keep-set); top_k
-        # already returned scores descending, so skip the re-sort
-        from tpucv.ops.pallas_nms import pallas_nms
-        idx, valid = pallas_nms(off, top_scores, iou_threshold, max_det,
-                                presorted=True)
-    elif k <= 1024:
-        idx, valid = jax.vmap(
-            lambda b, s: nms_fixpoint(b, s, iou_threshold, max_det)
-        )(off, top_scores)
-    else:
-        # eval-path candidate floods (conf=0.001, k up to 4096+): the O(k^2)
-        # overlap matrix would be ~67 MB/image, so use the O(max_det*k)
-        # sequential-scan greedy NMS instead (exact, memory-light)
-        from tpucv.ops.nms import nms
-        idx, valid = jax.vmap(
-            lambda b, s: nms(b, s, iou_threshold, max_det)
-        )(off, top_scores)
+    # kernel-dispatch policy (Pallas VMEM / XLA fixpoint / scan greedy)
+    # lives in ONE place; top_k already returned scores descending
+    from tpucv.ops.nms import dispatch_batched_nms
+    idx, valid = dispatch_batched_nms(off, top_scores, iou_threshold, max_det)
     out_boxes = jnp.take_along_axis(boxes, idx[..., None].repeat(4, -1), 1)
     out_scores = jnp.where(valid, jnp.take_along_axis(top_scores, idx, 1), 0.0)
     out_cls = jnp.take_along_axis(top_cls, idx, 1)

@@ -49,17 +49,21 @@ def select_highest_overlaps(
     Returns:
       target_gt_idx (B, A), fg_mask (B, A), mask_pos (B, M, A).
     """
-    # One unconditional select: keep only the best-overlap claiming GT per
-    # anchor. Algebraically identical to the reference's "where(multi,
-    # one_hot_best * mask_pos, mask_pos)" — with 0 or 1 claimants the
-    # product is a no-op (argmax over the -1-masked overlaps lands on the
-    # single claimant, or on row 0 of an all-zero mask column) — but it
-    # drops the fg_counts sum, the multi compare/where, and the second
-    # argmax: four fewer (B, M, A) passes on the train hot path.
-    best_gt = jnp.argmax(jnp.where(mask_pos, overlaps, -1.0), axis=-2)  # (B, A)
-    one_hot_best = jax.nn.one_hot(best_gt, max_boxes, axis=-2, dtype=mask_pos.dtype)
-    mask_pos = one_hot_best * mask_pos
+    # Faithful to the reference: a multi-claim anchor's column is replaced
+    # by the one-hot of argmax over the RAW overlaps across ALL GT rows —
+    # including rows that never claimed the anchor (bboxes.py:261-266 uses
+    # unmasked overlaps.argmax(1)). An earlier "argmax over mask_pos-masked
+    # overlaps" shortcut diverged exactly there: when a non-claimant GT has
+    # the highest IoU with the anchor's predicted box, the reference
+    # reassigns the anchor to it (code review r3).
+    fg_count = mask_pos.sum(axis=-2)                            # (B, A)
+    multi = fg_count > 1
+    best_raw = jnp.argmax(overlaps, axis=-2)                    # (B, A) raw
+    onehot_raw = jax.nn.one_hot(best_raw, max_boxes, axis=-2,
+                                dtype=mask_pos.dtype)
+    mask_pos = jnp.where(multi[:, None, :], onehot_raw, mask_pos)
     fg_mask = mask_pos.sum(axis=-2) > 0                         # (B, A)
+    best_gt = jnp.argmax(mask_pos, axis=-2)                     # (B, A)
     return best_gt, fg_mask, mask_pos
 
 

@@ -92,6 +92,24 @@ class COCOMeanAP:
         return _iou_xywh(d_boxes, g_boxes, iscrowd)
 
     # ------------------------------------------------------------ matching
+    def _cached_ious(self, img_id, cat_id):
+        """(score-sorted dts, IoU matrix vs gts in ORIGINAL order), computed
+        once per (img, cat) and reused across all area/max_det combos."""
+        cache = getattr(self, "_iou_cache", None)
+        if cache is None:
+            cache = self._iou_cache = {}
+        hit = cache.get((img_id, cat_id))
+        if hit is None:
+            gts = self._gts.get((img_id, cat_id), [])
+            dts = self._dts.get((img_id, cat_id), [])
+            d_order = np.argsort([-d["score"] for d in dts], kind="stable")
+            dts_sorted = [dts[i] for i in d_order]
+            iscrowd = np.array([bool(g.get("iscrowd", 0)) for g in gts])
+            hit = (dts_sorted, np.asarray(
+                self._iou(dts_sorted, gts, iscrowd), float))
+            cache[(img_id, cat_id)] = hit
+        return hit
+
     def _evaluate_img(self, img_id, cat_id, area_rng, max_det):
         gts = self._gts.get((img_id, cat_id), [])
         dts = self._dts.get((img_id, cat_id), [])
@@ -111,10 +129,15 @@ class COCOMeanAP:
         g_ignore = g_ignore[g_order]
         iscrowd = np.array([bool(g.get("iscrowd", 0)) for g in gts])
 
-        d_order = np.argsort([-d["score"] for d in dts], kind="stable")[:max_det]
-        dts = [dts[i] for i in d_order]
-
-        ious = self._iou(dts, gts, iscrowd)
+        # IoUs computed ONCE per (img, cat) like pycocotools computeIoU,
+        # then row-sliced by max_det and column-permuted by the
+        # area-dependent gt order: _iou is column-wise per gt, so
+        # permutation commutes (was recomputed for every of the
+        # len(area_rng) x len(max_dets) combinations — code review r3)
+        dts_sorted, full_ious = self._cached_ious(img_id, cat_id)
+        dts = dts_sorted[:max_det]
+        ious = full_ious[: len(dts)][:, g_order] if full_ious.size else \
+            np.zeros((len(dts), len(gts)))
 
         T = len(self.iou_thrs)
         D, G = len(dts), len(gts)
@@ -153,7 +176,18 @@ class COCOMeanAP:
     def _accumulate_native(self) -> bool:
         """Full evaluate+accumulate in C++ (tpucv/native/cocoeval.cpp) —
         the counterpart of pycocotools' C core. Returns False when the
-        native library is unavailable (caller falls back to numpy)."""
+        native library is unavailable (caller falls back to numpy), or when
+        a subclass customised the matching hooks the C core does not know
+        about (_iou/_dt_area/_gt_extra_ignore) — otherwise the native path
+        would silently compute the bbox protocol for e.g. a keypoints
+        subclass (code review r3). Protocol PARAMETERS (iou_thrs/rec_thrs/
+        area_rng/max_dets) are passed through, so overriding only those
+        keeps the native path."""
+        cls = type(self)
+        if (cls._iou is not COCOMeanAP._iou
+                or cls._dt_area is not COCOMeanAP._dt_area
+                or cls._gt_extra_ignore is not COCOMeanAP._gt_extra_ignore):
+            return False
         from tpucv.native import load
         lib = load("cocoeval")
         if lib is None:
@@ -181,14 +215,16 @@ class COCOMeanAP:
         d_img = arr([img_idx[d["image_id"]] for d in dts], np.int32)
         d_cat = arr([cat_idx[d["category_id"]] for d in dts], np.int32)
 
-        T, R = len(IOU_THRS), len(REC_THRS)
-        K, A, M = len(self.cat_ids), len(AREA_RNG), len(MAX_DETS)
+        # subclass-visible protocol parameters, not the module defaults
+        T, R = len(self.iou_thrs), len(self.rec_thrs)
+        K, A, M = len(self.cat_ids), len(self.area_rng), len(self.max_dets)
         precision = np.full((T, R, K, A, M), -1.0)
         recall = np.full((T, K, A, M), -1.0)
-        area = arr([b for rng in AREA_RNG.values() for b in rng], np.float64)
-        maxd = arr(MAX_DETS, np.int32)
-        iou_t = arr(IOU_THRS, np.float64)
-        rec_t = arr(REC_THRS, np.float64)
+        area = arr([b for rng in self.area_rng.values() for b in rng],
+                   np.float64)
+        maxd = arr(self.max_dets, np.int32)
+        iou_t = arr(self.iou_thrs, np.float64)
+        rec_t = arr(self.rec_thrs, np.float64)
 
         p = C.POINTER(C.c_double)
         pi32 = C.POINTER(C.c_int32)
@@ -297,8 +333,6 @@ class COCOMeanAP:
 
     def print_summary(self, stats: Dict[str, float] | None = None):
         stats = stats or self.summarize()
-        fmt = (" Average Precision  (AP) @[ IoU={} | area={:>6s} | "
-               "maxDets={:>3d} ] = {:0.3f}")
         rows = [
             ("0.50:0.95", "all", 100, stats["AP"], True),
             ("0.50     ", "all", 100, stats["AP50"], True),

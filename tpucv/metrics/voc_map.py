@@ -99,9 +99,16 @@ def evaluate_voc_map(
         rec = tp_c / max(n_pos, 1)
         prec = tp_c / np.maximum(tp_c + fp_c, np.spacing(1))
         ap = voc_ap(rec, prec) if n_pos > 0 else 0.0
+        # images containing >=1 non-difficult GT of this class (the
+        # reference's counter_images_per_class, mAP.py:396-401); the
+        # reference passes REC into the lamr 'precision' slot (mAP.py:635)
+        n_img_c = len({key[0] for key, gl in gt_by.items()
+                       if key[1] == c
+                       and any(not g.get("difficult", False) for g in gl)})
+        lamr, _, _ = log_average_miss_rate(np.asarray(rec), fp_c, n_img_c)
         results[class_names[c]] = {
             "AP": ap, "n_gt": n_pos, "n_det": len(cls_dts),
-            "precision": prec, "recall": rec,
+            "precision": prec, "recall": rec, "lamr": lamr,
         }
         if n_pos > 0:
             aps.append(ap)
@@ -109,13 +116,20 @@ def evaluate_voc_map(
     return {"mAP": mAP, "per_class": results, "iou_threshold": iou_threshold}
 
 
-def log_average_miss_rate(prec: np.ndarray, rec: np.ndarray,
-                          n_images: int) -> float:
-    """lamr over 9 log-spaced FPPI points (reference mAP.py:34-71)."""
+def log_average_miss_rate(prec: np.ndarray, fp_cumsum: np.ndarray,
+                          n_images: int):
+    """lamr over 9 log-spaced FPPI points — the reference's exact
+    formulation (mAP.py:34-71), including its quirks: FPPI is the TRUE
+    false-positive cumsum per image (a detection matched to a difficult GT
+    contributes neither tp nor fp, so reconstructing fp from precision
+    would inflate FPPI — code review r3), and "miss rate" is the
+    reference's 1 - precision, not 1 - recall.
+
+    Returns (lamr, mr, fppi) like the reference."""
     if prec.size == 0:
-        return 0.0
-    fppi = (1 - prec) * (np.cumsum(np.ones_like(prec)) / max(n_images, 1))
-    mr = 1 - rec
+        return 0.0, 1.0, 0.0
+    fppi = np.asarray(fp_cumsum, float) / max(float(n_images), 1.0)
+    mr = 1 - prec
     fppi_tmp = np.concatenate([[-1.0], fppi])
     mr_tmp = np.concatenate([[1.0], mr])
     refs = np.logspace(-2, 0, 9)
@@ -123,7 +137,8 @@ def log_average_miss_rate(prec: np.ndarray, rec: np.ndarray,
     for r in refs:
         j = np.where(fppi_tmp <= r)[0][-1]
         ys.append(mr_tmp[j])
-    return float(np.exp(np.mean(np.log(np.maximum(np.array(ys), 1e-10)))))
+    lamr = float(np.exp(np.mean(np.log(np.maximum(np.array(ys), 1e-10)))))
+    return lamr, mr, fppi
 
 
 def save_plots(result: Dict, out_dir: str):

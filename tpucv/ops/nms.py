@@ -206,6 +206,39 @@ batched_non_max_suppression = jax.vmap(
 )
 
 
+def dispatch_batched_nms(off_boxes: jax.Array, top_scores: jax.Array,
+                         iou_threshold: float, max_det: int,
+                         use_pallas: bool | None = None):
+    """Pick the exact-NMS engine for presorted (B, K) candidates — the ONE
+    home of the kernel-dispatch policy (decode_boxes and
+    batched_single_label_nms had drifted copies, code review r3):
+
+    * K <= 1024 on TPU: Pallas VMEM fixpoint kernel (the (K, K) f32 overlap
+      matrix fits the 16 MB VMEM budget),
+    * K <= 1024 elsewhere: XLA HBM fixpoint,
+    * K > 1024 (eval-path candidate floods, conf=0.001): the O(K^2) matrix
+      would be ~67 MB/image at K=4096, so the O(max_det*K) sequential-scan
+      greedy NMS (exact, memory-light).
+
+    Returns (idx (B, max_det) into the K axis, valid (B, max_det))."""
+    K = top_scores.shape[-1]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if K > 1024:
+        use_pallas = False
+    if use_pallas:
+        from tpucv.ops.pallas_nms import pallas_nms
+        return pallas_nms(off_boxes, top_scores, iou_threshold, max_det,
+                          presorted=True)
+    if K <= 1024:
+        return jax.vmap(
+            lambda b, s: nms_fixpoint(b, s, iou_threshold, max_det)
+        )(off_boxes, top_scores)
+    return jax.vmap(
+        lambda b, s: nms(b, s, iou_threshold, max_det)
+    )(off_boxes, top_scores)
+
+
 def batched_single_label_nms(
     pred: jax.Array,              # (B, A, 4+nc) boxes px + class scores
     conf_threshold: float = 0.25,
@@ -218,12 +251,6 @@ def batched_single_label_nms(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Batched best-class NMS with a Pallas VMEM kernel on TPU and the XLA
     fixpoint elsewhere. Same semantics as ``non_max_suppression`` vmapped."""
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    # the VMEM-resident kernel holds an (N, N) f32 matrix; N > 1024 exceeds
-    # the 16 MB VMEM budget -> use the HBM fixpoint instead
-    if pre_nms_topk > 1024:
-        use_pallas = False
     B, A, _ = pred.shape
     cls_scores = pred[:, :, 4:]
     best_cls = jnp.argmax(cls_scores, axis=-1)
@@ -242,21 +269,8 @@ def batched_single_label_nms(
         off_boxes = top_boxes + top_cls[..., None].astype(
             top_boxes.dtype) * 7680.0
 
-    if use_pallas:
-        from tpucv.ops.pallas_nms import pallas_nms
-        idx, valid = pallas_nms(off_boxes, top_scores, iou_threshold, max_det,
-                                presorted=True)
-    elif k <= 1024:
-        idx, valid = jax.vmap(
-            lambda b, s: nms_fixpoint(b, s, iou_threshold, max_det)
-        )(off_boxes, top_scores)
-    else:
-        # candidate floods (eval conf=0.001): the O(k^2) overlap matrix of
-        # the fixpoint would be ~67 MB/image at k=4096, so use the
-        # O(max_det*k) sequential-scan greedy NMS (exact, memory-light)
-        idx, valid = jax.vmap(
-            lambda b, s: nms(b, s, iou_threshold, max_det)
-        )(off_boxes, top_scores)
+    idx, valid = dispatch_batched_nms(off_boxes, top_scores, iou_threshold,
+                                      max_det, use_pallas=use_pallas)
 
     out_boxes = jnp.take_along_axis(
         top_boxes, idx[..., None].repeat(4, -1), axis=1)
