@@ -38,6 +38,19 @@ def init_on_cpu(model, shape, dtype, seed: int = 0):
     return variables
 
 
+def cached_infer(algo, key: str, builder):
+    """Per-algorithm cache of jitted inference closures: every make_*_fn()
+    returns a NEW function object, so calling it per predict()/eval pass
+    would retrace and recompile the full forward+decode graph each time."""
+    cache = getattr(algo, "_eval_jit_cache", None)
+    if cache is None:
+        cache = algo._eval_jit_cache = {}
+    fn = cache.get(key)
+    if fn is None:
+        fn = cache[key] = builder()
+    return fn
+
+
 class DetectionAlgorithm:
     def __init__(self, cfg):
         self.cfg = cfg
@@ -79,7 +92,10 @@ class DetectionAlgorithm:
     # -------- shared inference plumbing ----------------------------------
     def predict(self, variables, image_path: str, infer_fn=None,
                 save_dir: Optional[str] = "detect_results"):
-        infer_fn = infer_fn or self.make_infer_fn()
+        # cache across calls: looping predict() over a directory must not
+        # retrace+recompile the forward+decode+NMS graph per image
+        infer_fn = infer_fn or cached_infer(self, "predict",
+                                            self.make_infer_fn)
         img = read_image(image_path)
         s = self.input_size
         canvas, scale, pad = letter_box(img, (s, s))
@@ -124,7 +140,11 @@ class DetectionAlgorithm:
         oshapes = [None] * len(idxs)
         prescales = [None] * len(idxs)
         done = [False] * len(idxs)
-        batch_paths = [index[i][0] for i in idxs]
+        # fetch each item ONCE: ndarray-backed indices (synthetic data)
+        # render the image in __getitem__, so probing index[i][0] twice
+        # would generate every image twice per batch (code review r3)
+        items = [index[i] for i in idxs]
+        batch_paths = [it[0] for it in items]
         if imagepipe.available() and all(
                 isinstance(p, str) for p in batch_paths):
             # zero=False: canvases is freshly np.zeros'd and the native
@@ -140,10 +160,10 @@ class DetectionAlgorithm:
                         oshapes[j] = (oh, ow)
                         prescales[j] = (nhw[j, 1] / ow, nhw[j, 0] / oh)
                         done[j] = True
-        for j, i in enumerate(idxs):
+        for j in range(len(idxs)):
             if done[j]:
                 continue
-            path, _, _ = index[i]
+            path = batch_paths[j]
             img = read_image(path) if isinstance(path, str) else path
             oh, ow = img.shape[:2]               # exact original, pre-resize
             if oh > C or ow > C:
@@ -175,7 +195,7 @@ class DetectionAlgorithm:
         program — host work is JPEG decode only (VERDICT round 1, item 3;
         replaces the reference's per-image host cv2 letter_box at
         core/utils/image_process.py:48-66 + core/algorithms/yolo_v8.py:345)."""
-        from tpucv.ops.preprocess import letterbox_images
+        from tpucv.ops.preprocess import host_letterbox_geom, letterbox_images
 
         s = self.input_size
         C = self.raw_canvas
@@ -190,8 +210,9 @@ class DetectionAlgorithm:
             infer = self.make_infer_fn(conf_threshold=conf_threshold)
 
             @jax.jit
-            def letterbox_and_infer(variables, canvases, hw):
-                lb, scale, pad = letterbox_images(canvases, hw, s)
+            def letterbox_and_infer(variables, canvases, hw, geom, hscale):
+                lb, scale, pad = letterbox_images(
+                    canvases, hw, s, geom=geom, scale=hscale)
                 boxes, scores, classes, valid = infer(variables, lb)
                 return boxes, scores, classes, valid, scale, pad
 
@@ -202,9 +223,12 @@ class DetectionAlgorithm:
             idxs = list(range(start, min(start + batch_size, n)))
             canvases, hw, oshapes, prescales = self._fill_canvases(
                 index, idxs, batch_size, C)
+            # f64 letterbox geometry on host: exact reference arithmetic
+            geom, hscale = host_letterbox_geom(hw, s)
             boxes_b, scores_b, classes_b, valid_b, scale_b, pad_b = \
                 jax.device_get(letterbox_and_infer(
-                    variables, jnp.asarray(canvases), jnp.asarray(hw)))
+                    variables, jnp.asarray(canvases), jnp.asarray(hw),
+                    jnp.asarray(geom), jnp.asarray(hscale)))
             for j, i in enumerate(idxs):
                 v = valid_b[j]
                 pre_x, pre_y = prescales[j]

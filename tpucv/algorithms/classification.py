@@ -77,7 +77,9 @@ class VitClassification:
         import cv2
         from tpucv.utils.image_process import read_image
 
-        infer_fn = infer_fn or self.make_infer_fn()
+        from tpucv.algorithms.base import cached_infer
+        infer_fn = infer_fn or cached_infer(
+            self, "predict", self.make_infer_fn)
         img = read_image(image_path) if isinstance(image_path, str) \
             else image_path
         s = self.input_size

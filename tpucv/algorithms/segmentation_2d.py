@@ -87,7 +87,9 @@ class DeeplabV3PlusA:
                 save_dir: Optional[str] = "detect_results"):
         import os
         import time
-        infer_fn = infer_fn or self.make_infer_fn()
+        from tpucv.algorithms.base import cached_infer
+        infer_fn = infer_fn or cached_infer(
+            self, "predict", self.make_infer_fn)
         img = read_image(image_path)
         s = self.cfg.arch.crop_size
         resized = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)

@@ -95,7 +95,8 @@ class YOLOv8Pose(DetectionAlgorithm):
         shared with the base harness via _fill_canvases."""
         import jax
         import jax.numpy as jnp
-        from tpucv.ops.preprocess import letterbox_images
+        from tpucv.ops.preprocess import (host_letterbox_geom,
+                                          letterbox_images)
         from tpucv.utils.image_process import reverse_letter_box
 
         s = self.input_size
@@ -108,8 +109,9 @@ class YOLOv8Pose(DetectionAlgorithm):
             infer = self.make_pose_infer_fn(conf_threshold=conf_threshold)
 
             @jax.jit
-            def letterbox_and_infer(variables, canvases, hw):
-                lb, scale, pad = letterbox_images(canvases, hw, s)
+            def letterbox_and_infer(variables, canvases, hw, geom, hscale):
+                lb, scale, pad = letterbox_images(
+                    canvases, hw, s, geom=geom, scale=hscale)
                 boxes, scores, classes, valid, kpts = infer(variables, lb)
                 return boxes, scores, classes, valid, kpts, scale, pad
 
@@ -120,9 +122,11 @@ class YOLOv8Pose(DetectionAlgorithm):
             idxs = list(range(start, min(start + batch_size, n)))
             canvases, hw, oshapes, prescales = self._fill_canvases(
                 index, idxs, batch_size, C)
+            geom, hscale = host_letterbox_geom(hw, s)
             boxes_b, scores_b, classes_b, valid_b, kpts_b, scale_b, pad_b = \
                 jax.device_get(letterbox_and_infer(
-                    variables, jnp.asarray(canvases), jnp.asarray(hw)))
+                    variables, jnp.asarray(canvases), jnp.asarray(hw),
+                    jnp.asarray(geom), jnp.asarray(hscale)))
             for j, i in enumerate(idxs):
                 v = valid_b[j]
                 pre_x, pre_y = prescales[j]
@@ -189,7 +193,9 @@ class YOLOv8Pose(DetectionAlgorithm):
             letter_box, read_image, reverse_letter_box)
         from tpucv.utils.visualize import show_detection_results
 
-        infer_fn = infer_fn or self.make_pose_infer_fn()
+        from tpucv.algorithms.base import cached_infer
+        infer_fn = infer_fn or cached_infer(
+            self, "predict_pose", self.make_pose_infer_fn)
         img = read_image(image_path) if isinstance(image_path, str) \
             else image_path
         s = self.input_size

@@ -90,7 +90,9 @@ class YOLOv8Seg(DetectionAlgorithm):
             letter_box, read_image, reverse_letter_box)
         from tpucv.utils.visualize import show_detection_results
 
-        infer_fn = infer_fn or self.make_seg_infer_fn()
+        from tpucv.algorithms.base import cached_infer
+        infer_fn = infer_fn or cached_infer(
+            self, "predict_seg", self.make_seg_infer_fn)
         img = read_image(image_path) if isinstance(image_path, str) \
             else image_path
         s = self.input_size

@@ -37,12 +37,18 @@ class COCOIndex:
         # through pycocotools, whose matcher ignores iscrowd GTs).
         anns_by_img = defaultdict(list)
         crowd_by_img = defaultdict(list)
+        degen_by_img = defaultdict(list)
         for a in data.get("annotations", []):
             x, y, w, h = a["bbox"]
-            if w < min_box or h < min_box:
-                continue
             if a.get("iscrowd", 0):
                 crowd_by_img[a["image_id"]].append(a)
+            elif w < min_box or h < min_box:
+                # degenerate boxes are useless as TRAINING targets, but
+                # pycocotools keeps every annotation in the eval GT set
+                # (an unmatched recall-denominator entry) — dropping them
+                # from eval_gt_records diverged from the reference
+                # protocol (code review r3)
+                degen_by_img[a["image_id"]].append(a)
             else:
                 anns_by_img[a["image_id"]].append(a)
 
@@ -65,6 +71,8 @@ class COCOIndex:
         self.samples: List[Tuple[str, np.ndarray, np.ndarray, int]] = []
         self.areas: List[np.ndarray] = []       # official ann areas (seg area)
         self.crowd: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        # degenerate (sub-min_box) non-crowd anns: eval-only GT records
+        self._degen: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         # per-sample, per-ann polygon lists for instance segmentation
         # (list-format COCO "segmentation" only; RLE crowds are eval-only)
         self._polys: Optional[List[list]] = [] if keep_polys else None
@@ -75,6 +83,7 @@ class COCOIndex:
             self.samples.append((path, boxes, labels, img_id))
             self.areas.append(areas)
             self.crowd.append(_pack(crowd_by_img.get(img_id, [])))
+            self._degen.append(_pack(degen_by_img.get(img_id, [])))
             if self._polys is not None:
                 self._polys.append([
                     a.get("segmentation")
@@ -96,25 +105,25 @@ class COCOIndex:
         return self._polys[i][j] if self._polys is not None else None
 
     def eval_gt_records(self, i) -> List[dict]:
-        """All GT records for image i in COCO-eval form — non-crowd first,
-        then crowd with ``iscrowd: 1`` — with the annotation's official
-        ``area`` (segmentation area on real COCO, which pycocotools uses for
-        the small/medium/large range filter, not the bbox area)."""
+        """All GT records for image i in COCO-eval form — non-crowd first
+        (incl. degenerate boxes pycocotools keeps as GTs), then crowd with
+        ``iscrowd: 1`` — with the annotation's official ``area``
+        (segmentation area on real COCO, which pycocotools uses for the
+        small/medium/large range filter, not the bbox area)."""
         _, boxes, labels, img_id = self.samples[i]
         recs = []
-        for j, (b, l) in enumerate(zip(boxes, labels)):
-            recs.append({
-                "image_id": img_id, "category_id": self.contig_to_cat[int(l)],
-                "bbox": [float(b[0]), float(b[1]),
-                         float(b[2] - b[0]), float(b[3] - b[1])],
-                "area": float(self.areas[i][j]), "iscrowd": 0,
-            })
-        cboxes, clabels, careas = self.crowd[i]
-        for j, (b, l) in enumerate(zip(cboxes, clabels)):
-            recs.append({
-                "image_id": img_id, "category_id": self.contig_to_cat[int(l)],
-                "bbox": [float(b[0]), float(b[1]),
-                         float(b[2] - b[0]), float(b[3] - b[1])],
-                "area": float(careas[j]), "iscrowd": 1,
-            })
+
+        def emit(bxs, lbls, areas, iscrowd):
+            for j, (b, l) in enumerate(zip(bxs, lbls)):
+                recs.append({
+                    "image_id": img_id,
+                    "category_id": self.contig_to_cat[int(l)],
+                    "bbox": [float(b[0]), float(b[1]),
+                             float(b[2] - b[0]), float(b[3] - b[1])],
+                    "area": float(areas[j]), "iscrowd": iscrowd,
+                })
+
+        emit(boxes, labels, self.areas[i], 0)
+        emit(*self._degen[i], 0)
+        emit(*self.crowd[i], 1)
         return recs

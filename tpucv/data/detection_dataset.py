@@ -235,7 +235,13 @@ class DetectionDataset:
                 canvas[oy + sy0:oy + sy1, ox + sx0:ox + sx1] = \
                     img[sy0:sy1, sx0:sx1]
             if len(boxes):
-                b = boxes * scale
+                # EFFECTIVE per-axis ratios (int truncation of nw/nh): the
+                # exact float scale misaligned boxes with the resized
+                # pixels by up to 1 px (code review r3; _random_single
+                # already used nw/w, nh/h)
+                b = boxes.astype(np.float32)   # astype copies
+                b[:, [0, 2]] *= nw / w
+                b[:, [1, 3]] *= nh / h
                 b[:, [0, 2]] += ox
                 b[:, [1, 3]] += oy
                 b[:, [0, 2]] = b[:, [0, 2]].clip(x0, x1)
@@ -246,6 +252,12 @@ class DetectionDataset:
         if all_boxes:
             boxes = np.concatenate(all_boxes)
             labels = np.concatenate(all_labels)
+            if len(boxes) > self.max_boxes:
+                # _pad truncates to max_boxes in deterministic order, which
+                # would ALWAYS drop the later quadrants on dense scenes —
+                # shuffle first so the cut is unbiased (code review r3)
+                perm = rng.permutation(len(boxes))
+                boxes, labels = boxes[perm], labels[perm]
         else:
             boxes = np.zeros((0, 4), np.float32)
             labels = np.zeros((0,), np.int32)

@@ -55,7 +55,9 @@ class VOCDetectionIndex:
             box = [float(bb.find(k).text) for k in ("xmin", "ymin", "xmax", "ymax")]
             boxes.append(box)
             labels.append(self.cls_to_id[name])
-            difficult.append(diff is not None and diff.text == "1")
+            # strip(): pretty-printed XML writes "\n1\n" (code review r3)
+            difficult.append(diff is not None and diff.text is not None
+                             and diff.text.strip() == "1")
         if not boxes:
             return (np.zeros((0, 4), np.float32), np.zeros((0,), np.int32),
                     np.zeros((0,), bool))
