@@ -18,6 +18,10 @@ def main():
     parser.add_argument("--ckpt", type=str, default="")
     parser.add_argument("--subset", type=str, default="val")
     parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--int8", action="store_true",
+                        help="post-training int8 quantization: calibrate on "
+                             "the first eval batches, then run the int8 "
+                             "inference path (tpucv/quant.py)")
     args = parser.parse_args()
 
     cfg, algo_cls, _ = export_from_registry(args.model)
@@ -70,6 +74,8 @@ def main():
             index = SyntheticPoseIndex(
                 16, cfg.dataset.input_size,
                 nk=cfg.arch.kpt_shape[0], seed=1)
+        if args.int8:
+            variables = algo.quantize_variables(variables, index)
         algo.evaluate_on_coco(variables, index, args.batch_size)
         return
     if cfg.dataset.name == "coco":
@@ -77,10 +83,14 @@ def main():
         index = COCOIndex(
             os.path.join(ds["root"], f"annotations/instances_{args.subset}2017.json"),
             os.path.join(ds["root"], f"{args.subset}2017"))
+        if args.int8:
+            variables = algo.quantize_variables(variables, index)
         algo.evaluate_on_coco(variables, index, args.batch_size)
     else:
         from tpucv.data.voc import VOCDetectionIndex
         index = VOCDetectionIndex(ds["root"], args.subset)
+        if args.int8:
+            variables = algo.quantize_variables(variables, index)
         algo.evaluate_on_voc(variables, index, args.batch_size)
 
 

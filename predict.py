@@ -18,6 +18,9 @@ def main():
     parser.add_argument("--src", type=str, nargs="+", default=[],
                         help="input image path(s) or video path")
     parser.add_argument("--dst", type=str, default="detect_results")
+    parser.add_argument("--int8", action="store_true",
+                        help="post-training int8 quantization, calibrated "
+                             "on the input images (tpucv/quant.py)")
     args = parser.parse_args()
 
     cfg, algo_cls, _ = export_from_registry(args.model)
@@ -30,8 +33,20 @@ def main():
     if args.type == "video":
         from scripts.detect import detect_video
         assert len(args.src) == 1, "--type video takes one --src path"
+        if args.int8:
+            raise SystemExit("--int8 currently supports --type image only")
         detect_video(algo, variables, args.src[0], args.dst)
         return
+
+    if args.int8:
+        if not hasattr(algo, "quantize_variables"):
+            raise SystemExit(f"--int8 is not supported for {args.model}")
+        # calibrate on the inputs themselves (an index is anything whose
+        # [i][0] yields an image path or ndarray)
+        calib = [(p,) for p in args.src]
+        variables = algo.quantize_variables(
+            variables, calib, n_images=len(calib),
+            batch_size=min(8, len(calib)))
 
     infer_fn = algo.make_predict_infer_fn(model)
     t0 = time.time()

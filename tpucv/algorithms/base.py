@@ -89,6 +89,38 @@ class DetectionAlgorithm:
         s = self.init_size
         return init_on_cpu(model, (1, s, s, 3), self.dtype, seed)
 
+    # -------- int8 post-training quantization -----------------------------
+    def quantize_variables(self, variables, index, n_images: int = 32,
+                           batch_size: int = 8):
+        """PTQ entry point for the eval/predict harness: calibrate on the
+        first ``n_images`` of ``index`` through the production letterbox
+        path and return variables augmented with the int8 ``quant``
+        collection (see tpucv/quant.py). The reference has no quantized
+        deploy path (its deploy stubs are empty, SURVEY §1.11)."""
+        from tpucv import quant
+        from tpucv.ops.preprocess import (host_letterbox_geom,
+                                          letterbox_images, normalize_images)
+
+        model = self.build_model()
+        s, C = self.input_size, self.raw_canvas
+
+        @jax.jit
+        def prep(canvases, hw, geom, hscale):
+            lb, _, _ = letterbox_images(canvases, hw, s, geom=geom,
+                                        scale=hscale)
+            return normalize_images(lb, self.dtype)
+
+        batches = []
+        n = min(n_images, len(index))
+        for start in range(0, n, batch_size):
+            idxs = list(range(start, min(start + batch_size, n)))
+            canvases, hw, _, _ = self._fill_canvases(
+                index, idxs, batch_size, C)
+            geom, hscale = host_letterbox_geom(hw, s)
+            batches.append(prep(jnp.asarray(canvases), jnp.asarray(hw),
+                                jnp.asarray(geom), jnp.asarray(hscale)))
+        return quant.quantize_for_inference(model, variables, batches)
+
     # -------- shared inference plumbing ----------------------------------
     def predict(self, variables, image_path: str, infer_fn=None,
                 save_dir: Optional[str] = "detect_results"):
