@@ -33,7 +33,19 @@ def main():
     if args.ckpt:
         variables = CheckPoint.load_pure(args.ckpt, dict(variables))
 
+    def maybe_quantize(variables, index):
+        """--int8: one shared entry point with a clean error for models
+        the int8 path doesn't cover (instead of an AttributeError or a
+        silent float run)."""
+        if not args.int8:
+            return variables
+        if not hasattr(algo, "quantize_variables"):
+            raise SystemExit(f"--int8 is not supported for {args.model}")
+        return algo.quantize_variables(variables, index)
+
     if cfg.dataset.name == "folder":        # classification (vit_cls)
+        if args.int8:
+            raise SystemExit(f"--int8 is not supported for {args.model}")
         from tpucv.data.classification_dataset import (
             ImageFolderIndex, SyntheticClsIndex)
         root = os.environ.get("TPUCV_CLS_ROOT", "")
@@ -74,8 +86,7 @@ def main():
             index = SyntheticPoseIndex(
                 16, cfg.dataset.input_size,
                 nk=cfg.arch.kpt_shape[0], seed=1)
-        if args.int8:
-            variables = algo.quantize_variables(variables, index)
+        variables = maybe_quantize(variables, index)
         algo.evaluate_on_coco(variables, index, args.batch_size)
         return
     if cfg.dataset.name == "coco":
@@ -83,14 +94,12 @@ def main():
         index = COCOIndex(
             os.path.join(ds["root"], f"annotations/instances_{args.subset}2017.json"),
             os.path.join(ds["root"], f"{args.subset}2017"))
-        if args.int8:
-            variables = algo.quantize_variables(variables, index)
+        variables = maybe_quantize(variables, index)
         algo.evaluate_on_coco(variables, index, args.batch_size)
     else:
         from tpucv.data.voc import VOCDetectionIndex
         index = VOCDetectionIndex(ds["root"], args.subset)
-        if args.int8:
-            variables = algo.quantize_variables(variables, index)
+        variables = maybe_quantize(variables, index)
         algo.evaluate_on_voc(variables, index, args.batch_size)
 
 

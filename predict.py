@@ -41,6 +41,9 @@ def main():
     if args.int8:
         if not hasattr(algo, "quantize_variables"):
             raise SystemExit(f"--int8 is not supported for {args.model}")
+        if not args.src:
+            raise SystemExit("--int8 needs at least one --src image "
+                             "to calibrate on")
         # calibrate on the inputs themselves (an index is anything whose
         # [i][0] yields an image path or ndarray)
         calib = [(p,) for p in args.src]

@@ -39,7 +39,6 @@ def test_quant_path_is_exact_when_lossless():
     m = ConvBnAct(8, 3, 1, dtype=jnp.float32)
     x = jnp.asarray(
         rng.integers(-127, 128, (1, 8, 8, 8)).astype(np.float32))
-    assert float(jnp.max(jnp.abs(x))) == 127.0 or True  # absmax <= 127
     v = jax.device_get(m.init(jax.random.PRNGKey(0), x))
     kern = rng.integers(-127, 128, (3, 3, 8, 8)).astype(np.float32)
     kern.reshape(-1, 8)[0] = 127  # per-channel max -> wscale = 1
@@ -163,6 +162,24 @@ def test_quantize_variables_harness_integration():
     # raw-weight net: don't assert detections, assert the two paths rank
     # the same top candidate and score it nearly identically
     assert abs(float(sf[0, 0]) - float(sq[0, 0])) < 0.05
+
+
+def test_quantize_refuses_models_without_int8_coverage():
+    """SSD has no ConvBnAct, so calibration sows nothing; quantize_variables
+    must raise instead of silently attaching an empty quant collection and
+    reporting float results as int8."""
+    from tpucv.algorithms.ssd import Ssd
+    from tpucv.configs.model_cfgs import SsdConfig
+    from tpucv.data.detection_dataset import SyntheticDetectionIndex
+
+    cfg = SsdConfig()
+    algo = Ssd(cfg)
+    variables = algo.init_variables(seed=0)
+    index = SyntheticDetectionIndex(2, cfg.dataset.input_size, algo.nc
+                                    if hasattr(algo, "nc") else 20,
+                                    max_objects=1, seed=0)
+    with pytest.raises(ValueError, match="no quantizable convs"):
+        algo.quantize_variables(variables, index, n_images=1, batch_size=1)
 
 
 def test_quantized_export_round_trip():

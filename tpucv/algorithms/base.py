@@ -110,16 +110,27 @@ class DetectionAlgorithm:
                                         scale=hscale)
             return normalize_images(lb, self.dtype)
 
-        batches = []
         n = min(n_images, len(index))
-        for start in range(0, n, batch_size):
-            idxs = list(range(start, min(start + batch_size, n)))
-            canvases, hw, _, _ = self._fill_canvases(
-                index, idxs, batch_size, C)
-            geom, hscale = host_letterbox_geom(hw, s)
-            batches.append(prep(jnp.asarray(canvases), jnp.asarray(hw),
-                                jnp.asarray(geom), jnp.asarray(hscale)))
-        return quant.quantize_for_inference(model, variables, batches)
+        if n == 0 or batch_size <= 0:
+            raise ValueError("int8 calibration needs at least one image")
+
+        def batches():
+            # generator: one calibration batch resident on device at a time
+            for start in range(0, n, batch_size):
+                idxs = list(range(start, min(start + batch_size, n)))
+                canvases, hw, _, _ = self._fill_canvases(
+                    index, idxs, batch_size, C)
+                geom, hscale = host_letterbox_geom(hw, s)
+                yield prep(jnp.asarray(canvases), jnp.asarray(hw),
+                           jnp.asarray(geom), jnp.asarray(hscale))
+
+        qv = quant.quantize_for_inference(model, variables, batches())
+        if quant.count_quantized(qv["quant"]) == 0:
+            raise ValueError(
+                f"{type(model).__name__} has no quantizable convs (int8 "
+                f"currently covers the ConvBnAct stacks: YOLOv8 det/seg/"
+                f"pose and YOLOv7); refusing to silently run float")
+        return qv
 
     # -------- shared inference plumbing ----------------------------------
     def predict(self, variables, image_path: str, infer_fn=None,

@@ -42,7 +42,8 @@ def calibrate(model, variables, batches: Iterable, **apply_kwargs):
     @jax.jit
     def run(v, x):
         _, aux = model.apply(v, x, mutable=["quant_stats"], **apply_kwargs)
-        return aux["quant_stats"]
+        # models with no quantizable conv sow nothing -> empty stats tree
+        return aux.get("quant_stats", {})
 
     stats = None
     for x in batches:
