@@ -182,6 +182,23 @@ def test_quantize_refuses_models_without_int8_coverage():
         algo.quantize_variables(variables, index, n_images=1, batch_size=1)
 
 
+def test_quant_collection_checkpoint_roundtrip(tmp_path):
+    """A quantized bundle must save/load like any variables dict (deploy
+    workflow: calibrate once, ship the int8 ckpt)."""
+    from tpucv.ckpt.checkpoint import CheckPoint
+
+    rng = np.random.default_rng(6)
+    m = ConvBnAct(8, 3, 1, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 8)).astype(np.float32))
+    v = _realistic_convbn_vars(rng, m, x, 8, 8)
+    qv = quant.quantize_for_inference(m, v, [x])
+    path = CheckPoint.save_pure(qv, str(tmp_path / "q.ckpt"))
+    restored = CheckPoint.load_pure(path, jax.tree.map(jnp.zeros_like, qv))
+    assert restored["quant"]["qkernel"].dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(m.apply(qv, x)),
+                                  np.asarray(m.apply(restored, x)))
+
+
 def test_quantized_export_round_trip():
     """The serving artifact (jax.export, deploy.py) must ship the int8 path
     too: quantized variables bake into the exported StableHLO unchanged."""
