@@ -327,3 +327,39 @@ def test_spatial_partitioning_matches_replicated():
     for a, b in zip(jax.tree_util.tree_leaves(g_sp),
                     jax.tree_util.tree_leaves(g_re)):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_batch_sharded_inference_matches_single_device():
+    """Multi-chip SERVING: the standard infer_fn (forward + decode + NMS)
+    accepts a batch sharded over the data axis — per-image math is
+    independent, so XLA partitions the whole pipeline with no collectives
+    and the detections must match the unsharded run."""
+    from tpucv.algorithms.yolov8 import YOLOv8
+    from tpucv.configs.model_cfgs import Yolo8DetConfig
+
+    cfg = Yolo8DetConfig()
+    cfg.dataset.input_size = 64
+    cfg.train.mixed_precision = False
+    cfg.decode.pre_nms_topk = 64
+    cfg.decode.max_det = 16
+    algo = YOLOv8(cfg)
+    algo.nc = 8
+    variables = algo.init_variables(seed=0)
+    infer = algo.make_infer_fn(conf_threshold=0.05)
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (8, 64, 64, 3), dtype=np.uint8))
+    ref = jax.device_get(infer(variables, imgs))
+
+    mesh = pmesh.create_mesh(8, 1)
+    rep = pmesh.replicated(mesh)
+    sv = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), variables)
+    si = jax.device_put(imgs, pmesh.batch_sharding(mesh))
+    out = jax.device_get(infer(sv, si))
+
+    b_r, s_r, c_r, v_r = ref
+    b_o, s_o, c_o, v_o = out
+    np.testing.assert_array_equal(v_r, v_o)
+    np.testing.assert_array_equal(c_r[v_r], c_o[v_o])
+    np.testing.assert_allclose(s_r[v_r], s_o[v_o], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(b_r[v_r], b_o[v_o], rtol=1e-4, atol=1e-3)
