@@ -182,6 +182,24 @@ def test_quantize_refuses_models_without_int8_coverage():
         algo.quantize_variables(variables, index, n_images=1, batch_size=1)
 
 
+def test_quant_composes_with_bf16_compute_dtype():
+    """Production models run dtype=bf16; the int8 path quantizes the bf16
+    activations through f32 and dequantizes back to bf16, staying close to
+    the bf16 float path."""
+    rng = np.random.default_rng(7)
+    m = ConvBnAct(32, 3, 1, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.normal(0, 2, (2, 16, 16, 16)).astype(np.float32))
+    v = _realistic_convbn_vars(rng, m, x, 32, 16)
+    xb = x.astype(jnp.bfloat16)
+    qv = quant.quantize_for_inference(m, v, [xb])
+    assert quant.count_quantized(qv["quant"]) == 1
+    ref = np.asarray(m.apply(v, xb), np.float32)
+    out = np.asarray(m.apply(qv, xb), np.float32)
+    assert out.dtype == np.float32 and m.apply(qv, xb).dtype == jnp.bfloat16
+    rel = np.abs(ref - out).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
 def test_quant_collection_checkpoint_roundtrip(tmp_path):
     """A quantized bundle must save/load like any variables dict (deploy
     workflow: calibrate once, ship the int8 ckpt)."""
