@@ -236,6 +236,27 @@ def test_quantized_export_round_trip():
 
 
 @pytest.mark.slow
+def test_quantize_yolov7_close():
+    """YOLOv7's ConvBnAct stacks (E-ELAN, Transition, SPPCSPC) quantize
+    through the same hook; RepConv and the raw head convs stay float."""
+    from tpucv.models.yolov7 import Yolo7
+
+    rng = np.random.default_rng(8)
+    m = Yolo7(nc=8, dtype=jnp.float32)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    x = jnp.asarray(rng.random((1, 64, 64, 3), np.float32))
+    qv = quant.quantize_for_inference(m, v, [x])
+    nq = quant.count_quantized(qv["quant"])
+    assert nq > 30, nq
+    ref = m.apply(v, x)
+    out = m.apply(qv, x)
+    for r, o in zip(ref, out):
+        r = np.asarray(r, np.float32)
+        o = np.asarray(o, np.float32)
+        assert np.abs(r - o).max() / (np.abs(r).max() + 1e-9) < 0.1
+
+
+@pytest.mark.slow
 def test_quantized_map_close_to_float_on_trained_weights():
     """End-to-end accuracy guard: briefly train YOLOv8n on synthetic data
     (CPU, small), then compare float vs int8 mAP@0.5 through the full eval
