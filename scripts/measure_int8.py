@@ -3,8 +3,9 @@
 Times (a) the bare forward and (b) the full e2e pipeline (letterbox +
 forward + decode + NMS) for YOLOv8n at batch 128, float vs quantized, and
 reports the detection-agreement rate between the two paths on synthetic
-data. Timing recipe per docs/performance.md: n >= 15 dispatches, fence by
-fetching a scalar from the last output.
+data. ``--family ssd|centernet`` times those forwards instead (their conv
+stacks quantize through the same hooks). Timing recipe per
+docs/performance.md: n >= 15 dispatches, fence by fetching a scalar.
 
 Run:  python scripts/measure_int8.py [--ckpt saves/yolo8_det_coco_final.ckpt]
 """
@@ -40,7 +41,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="saves/yolo8_det_coco_final.ckpt")
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--family", default="yolo8",
+                    choices=["yolo8", "ssd", "centernet"])
     args = ap.parse_args()
+
+    if args.family != "yolo8":
+        return measure_forward_only(args)
 
     from tpucv import quant
     from tpucv.algorithms.yolov8 import YOLOv8
@@ -103,6 +109,37 @@ def main():
         matched = (d.min(1) < 4.0).mean()
         print(f"float boxes matched within 4px by an int8 box: "
               f"{matched:.2%}")
+
+
+def measure_forward_only(args):
+    """bf16-vs-int8 bare forward for the non-YOLO conv families."""
+    from tpucv import quant
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    rng = np.random.default_rng(0)
+    if args.family == "ssd":
+        from tpucv.models.ssd import SSD
+        model, S, B = SSD(num_classes=21, dtype=jnp.bfloat16), 300, 128
+    else:
+        from tpucv.models.centernet import CenterNet
+        model, S, B = CenterNet(num_classes=80, dtype=jnp.bfloat16), 384, 64
+
+    from tpucv.algorithms.base import init_on_cpu
+    v = init_on_cpu(model, (1, S, S, 3), jnp.bfloat16)
+    x = jnp.asarray(rng.random((B, S, S, 3), np.float32) * 2 - 1,
+                    jnp.bfloat16)
+    qv = quant.quantize_for_inference(model, v, [x[:8]])
+    print(f"{quant.count_quantized(qv['quant'])} convs int8", flush=True)
+
+    @jax.jit
+    def fwd(vv, xx):
+        out = model.apply(vv, xx)
+        return out[0] if isinstance(out, (tuple, list)) else out
+
+    t_f = timeit(fwd, v, x)
+    t_q = timeit(fwd, qv, x)
+    print(f"{args.family} forward B={B}@{S}: bf16 {t_f:.2f} ms | "
+          f"int8 {t_q:.2f} ms ({t_f/t_q:.2f}x)", flush=True)
 
 
 if __name__ == "__main__":

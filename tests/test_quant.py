@@ -96,16 +96,17 @@ def test_quant_bn_fold_matches_float_pipeline():
     v = _realistic_convbn_vars(rng, m, x, 8, 8, k=1)
     stats = quant.calibrate(m, v, [x])
     entry = quant.build_quant_collection(v, stats)
-    w = (np.asarray(entry["qkernel"], np.float64)
-         * np.asarray(entry["scale"], np.float64)
-         / (float(entry["xscale"])))          # folded kernel, dequantized
-    bias = np.asarray(entry["bias"], np.float64)
+    w = (np.asarray(entry["conv::qkernel"], np.float64)
+         * np.asarray(entry["conv::scale"], np.float64)
+         / (float(entry["conv::xscale"])))    # folded kernel, dequantized
+    bias = np.asarray(entry["conv::bias"], np.float64)
     # float pipeline: conv (no act) -> BN with running stats
     ref = np.asarray(m.apply(v, x), np.float64)
     man = (np.einsum("bhwc,ijco->bhwo",
                      np.asarray(x, np.float64), w) + bias)
     # the only gap is the int8 rounding of the kernel: <= wscale/2 per tap
-    wscale = np.asarray(entry["scale"], np.float64) / float(entry["xscale"])
+    wscale = (np.asarray(entry["conv::scale"], np.float64)
+              / float(entry["conv::xscale"]))
     bound = (np.abs(np.asarray(x)).max() * 8 * wscale / 2).max()
     assert np.abs(ref - man).max() <= bound + 1e-4
 
@@ -165,19 +166,28 @@ def test_quantize_variables_harness_integration():
 
 
 def test_quantize_refuses_models_without_int8_coverage():
-    """SSD has no ConvBnAct, so calibration sows nothing; quantize_variables
-    must raise instead of silently attaching an empty quant collection and
-    reporting float results as int8."""
-    from tpucv.algorithms.ssd import Ssd
-    from tpucv.configs.model_cfgs import SsdConfig
+    """A model with no quantization hooks sows nothing during calibration;
+    quantize_variables must raise instead of silently attaching an empty
+    quant collection and reporting float results as int8."""
+    from flax import linen as nn
+
+    from tpucv.algorithms.yolov8 import YOLOv8
+    from tpucv.configs.model_cfgs import Yolo8DetConfig
     from tpucv.data.detection_dataset import SyntheticDetectionIndex
 
-    cfg = SsdConfig()
-    algo = Ssd(cfg)
+    class PlainConvNet(nn.Module):      # no sow_calibration anywhere
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            return nn.Conv(8, (3, 3), padding="SAME")(x)
+
+    cfg = Yolo8DetConfig()
+    cfg.dataset.input_size = 64
+    cfg.train.mixed_precision = False
+    algo = YOLOv8(cfg)
+    algo.nc = 8
+    algo.build_model = lambda: PlainConvNet()
     variables = algo.init_variables(seed=0)
-    index = SyntheticDetectionIndex(2, cfg.dataset.input_size, algo.nc
-                                    if hasattr(algo, "nc") else 20,
-                                    max_objects=1, seed=0)
+    index = SyntheticDetectionIndex(2, 64, 8, max_objects=1, seed=0)
     with pytest.raises(ValueError, match="no quantizable convs"):
         algo.quantize_variables(variables, index, n_images=1, batch_size=1)
 
@@ -212,7 +222,7 @@ def test_quant_collection_checkpoint_roundtrip(tmp_path):
     qv = quant.quantize_for_inference(m, v, [x])
     path = CheckPoint.save_pure(qv, str(tmp_path / "q.ckpt"))
     restored = CheckPoint.load_pure(path, jax.tree.map(jnp.zeros_like, qv))
-    assert restored["quant"]["qkernel"].dtype == jnp.int8
+    assert restored["quant"]["conv::qkernel"].dtype == jnp.int8
     np.testing.assert_array_equal(np.asarray(m.apply(qv, x)),
                                   np.asarray(m.apply(restored, x)))
 
@@ -233,6 +243,153 @@ def test_quantized_export_round_trip():
     rehydrated = load_serialized(data)
     np.testing.assert_allclose(np.asarray(rehydrated(x)),
                                np.asarray(fn(x)), atol=1e-6)
+
+
+def _randomize_bn(tree_p, tree_b, rng):
+    """Give every BN in a params/batch_stats tree non-degenerate stats so
+    quantization error is visible (fresh init is mean=0/var=1 everywhere)."""
+    def walk(p, b):
+        for k in list(p.keys()):
+            if k.endswith("bn") or k == "bn":
+                co = p[k]["scale"].shape[0]
+                p[k]["scale"] = rng.uniform(0.5, 2, co).astype(np.float32)
+                p[k]["bias"] = rng.normal(0, 0.5, co).astype(np.float32)
+                if isinstance(b, dict) and k in b:
+                    b[k]["mean"] = rng.normal(0, 0.5, co).astype(np.float32)
+                    b[k]["var"] = rng.uniform(0.5, 2, co).astype(np.float32)
+            elif isinstance(p[k], dict):
+                walk(p[k], b.get(k, {}) if isinstance(b, dict) else {})
+    walk(tree_p, tree_b)
+
+
+def test_quantize_bnconv_and_centernet_blocks_close():
+    """The int8 hook generalizes beyond ConvBnAct: ResNet/DeepLab's BNConv
+    (eps 1e-5, ReLU) and CenterNet's ConvBNReLU / BasicBlock (inline
+    cv2_conv+cv2_bn pair) / Root (pre-residual fold) all quantize close to
+    their float paths."""
+    from tpucv.models.centernet import BasicBlock, ConvBNReLU, Root
+    from tpucv.models.resnet import BNConv
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(0, 1.5, (2, 12, 12, 16)).astype(np.float32))
+
+    for make, args in [
+        (BNConv, (x,)),
+        (ConvBNReLU, (x,)),
+        (BasicBlock, (x,)),
+        (Root, ([x, x],)),
+    ]:
+        m = make(16, dtype=jnp.float32)
+        v = jax.device_get(jax.jit(m.init)(jax.random.PRNGKey(0), *args))
+        _randomize_bn(v["params"], v["batch_stats"], rng)
+        qv = quant.quantize_for_inference(m, v, [args[0]] if make is not Root
+                                          else [[x, x]])
+        nq = quant.count_quantized(qv["quant"])
+        assert nq >= 1, (make.__name__, nq)
+        ref = np.asarray(m.apply(v, *args), np.float32)
+        out = np.asarray(m.apply(qv, *args), np.float32)
+        rel = np.abs(ref - out).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 0.06, (make.__name__, rel)
+        # sanity: the int8 path is actually live (zeroed kernels change it)
+        sab = jax.tree.map(
+            lambda a: jnp.zeros_like(a) if a.dtype == jnp.int8 else a,
+            qv["quant"])
+        out2 = np.asarray(m.apply(dict(qv, quant=sab), *args), np.float32)
+        assert np.abs(out - out2).max() > 0
+
+
+def test_quantize_folds_conv_bias():
+    """SSD's VGG convs carry a bias AND BN; the fold must include it:
+    bias_total = beta + (conv_bias - mean) * gamma/sqrt(var+eps)."""
+    from flax import linen as nn
+
+    class BiasedConvBN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            from tpucv import quant as q
+
+            if not train:
+                q.sow_calibration(self, x, conv="c", bn="b", eps=1e-5)
+                y = q.quantized_conv(self, x, conv="c",
+                                     padding=((1, 1), (1, 1)),
+                                     out_dtype=jnp.float32)
+                if y is not None:
+                    return y
+            x = nn.Conv(8, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+                        name="c")(x)
+            return nn.BatchNorm(use_running_average=not train,
+                                epsilon=1e-5, name="b")(x)
+
+    rng = np.random.default_rng(10)
+    m = BiasedConvBN()
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 8)).astype(np.float32))
+    v = jax.device_get(m.init(jax.random.PRNGKey(0), x))
+    v["params"]["c"]["bias"] = rng.normal(0, 1, 8).astype(np.float32)
+    _randomize_bn({"b": v["params"]["b"]}, {"b": v["batch_stats"]["b"]}, rng)
+    v["batch_stats"]["b"]["mean"] = rng.normal(0, 1, 8).astype(np.float32)
+    qv = quant.quantize_for_inference(m, v, [x])
+    ref = np.asarray(m.apply(v, x), np.float32)
+    out = np.asarray(m.apply(qv, x), np.float32)
+    rel = np.abs(ref - out).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+@pytest.mark.slow
+def test_quantize_ssd_and_centernet_models():
+    """Model-level coverage for the non-YOLO families: SSD300 (VGG16-BN,
+    biased convs) and CenterNet DLA-34 quantize with sensible conv counts
+    and stay close to float."""
+    from tpucv.models.centernet import CenterNet
+    from tpucv.models.ssd import SSD
+
+    rng = np.random.default_rng(11)
+
+    m = SSD(num_classes=21, input_size=300, dtype=jnp.float32)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)))
+    x = jnp.asarray(rng.random((1, 300, 300, 3), np.float32))
+    qv = quant.quantize_for_inference(m, v, [x])
+    nq = quant.count_quantized(qv["quant"])
+    assert nq == 12, nq      # 13 VGG convs minus the 3-channel stem
+    for r, o in zip(m.apply(v, x), m.apply(qv, x)):
+        r, o = np.asarray(r, np.float32), np.asarray(o, np.float32)
+        assert np.abs(r - o).max() / (np.abs(r).max() + 1e-9) < 0.1
+
+    m2 = CenterNet(num_classes=4, dtype=jnp.float32)
+    v2 = jax.jit(m2.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    x2 = jnp.asarray(rng.random((1, 64, 64, 3), np.float32))
+    qv2 = quant.quantize_for_inference(m2, v2, [x2])
+    nq2 = quant.count_quantized(qv2["quant"])
+    assert nq2 > 20, nq2
+    r = np.asarray(m2.apply(v2, x2), np.float32)
+    o = np.asarray(m2.apply(qv2, x2), np.float32)
+    assert np.abs(r - o).max() / (np.abs(r).max() + 1e-9) < 0.15
+
+
+@pytest.mark.slow
+def test_quantize_deeplab_via_algo():
+    """DeepLab quantizes through BNConv and its algo-level calibration
+    entry point (resize + imagenet-normalize path)."""
+    from tpucv.algorithms.segmentation_2d import DeeplabV3PlusA
+    from tpucv.configs.model_cfgs import DeeplabV3PlusConfig
+
+    rng = np.random.default_rng(12)
+    cfg = DeeplabV3PlusConfig()
+    cfg.arch.backbone = "resnet50"
+    cfg.arch.crop_size = 65
+    cfg.dataset.input_size = 65
+    cfg.train.mixed_precision = False
+    algo = DeeplabV3PlusA(cfg)
+    variables = algo.init_variables(seed=0)
+    index = [rng.integers(0, 255, (80, 96, 3), dtype=np.uint8)
+             for _ in range(2)]
+    qv = algo.quantize_variables(variables, index, n_images=2, batch_size=2)
+    assert quant.count_quantized(qv["quant"]) > 30
+    # logits stay close through ~60 quantized convs + ASPP + decoder
+    model = algo.build_model()
+    x = jnp.asarray(rng.random((1, 65, 65, 3), np.float32))
+    r = np.asarray(model.apply(variables, x), np.float32)
+    o = np.asarray(model.apply(qv, x), np.float32)
+    assert np.abs(r - o).max() / (np.abs(r).max() + 1e-9) < 0.15
 
 
 @pytest.mark.slow

@@ -72,6 +72,43 @@ class DeeplabV3PlusA:
         """Predict-CLI contract (same as eval here: class-index map)."""
         return self.make_infer_fn(model)
 
+    def quantize_variables(self, variables, index, n_images: int = 8,
+                           batch_size: int = 4):
+        """int8 PTQ (tpucv/quant.py): calibrate on the first images of the
+        index through the predict path's resize + imagenet normalization.
+        Index items may be paths, ndarrays, or (image, ...) tuples."""
+        from tpucv import quant
+
+        model = self.build_model()
+        s = self.cfg.arch.crop_size
+        n = min(n_images, len(index))
+        if n == 0 or batch_size <= 0:
+            raise ValueError("int8 calibration needs at least one image")
+
+        def batches():
+            buf = []
+            for i in range(n):
+                item = index[i]
+                img = item[0] if isinstance(item, (tuple, list)) else item
+                img = read_image(img) if isinstance(img, str) else \
+                    np.asarray(img)
+                if img.dtype != np.uint8:
+                    img = np.clip(img, 0, 255).astype(np.uint8)
+                buf.append(cv2.resize(img, (s, s),
+                                      interpolation=cv2.INTER_LINEAR))
+                if len(buf) == batch_size or i == n - 1:
+                    u8 = jnp.asarray(np.stack(buf))
+                    buf.clear()
+                    yield imagenet_normalize(
+                        normalize_images(u8, self.dtype))
+
+        qv = quant.quantize_for_inference(model, variables, batches())
+        if quant.count_quantized(qv["quant"]) == 0:
+            raise ValueError(
+                "DeeplabV3Plus produced no quantizable convs; refusing to "
+                "silently run float")
+        return qv
+
     def make_infer_fn(self, model=None, **_):
         model = model or self.build_model()
 

@@ -33,7 +33,18 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from tpucv import quant
+
         p = self.k // 2
+        if not train:
+            # int8 PTQ hooks (tpucv/quant.py): inert without calibration
+            # or a supplied 'quant' collection
+            quant.sow_calibration(self, x, conv="conv", bn="bn", eps=1e-5)
+            q = quant.quantized_conv(
+                self, x, conv="conv", strides=(self.s, self.s),
+                padding=((p, p), (p, p)), out_dtype=self.dtype)
+            if q is not None:
+                return nn.relu(q)
         x = nn.Conv(self.feat, (self.k, self.k), strides=(self.s, self.s),
                     padding=((p, p), (p, p)), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv")(x)
@@ -52,14 +63,26 @@ class BasicBlock(nn.Module):
     def __call__(self, x, residual=None, train: bool = False):
         if residual is None:
             residual = x
+        from tpucv import quant
+
         y = ConvBNReLU(self.feat, 3, self.s, dtype=self.dtype, name="cv1")(
             x, train)
-        y = nn.Conv(self.feat, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                    name="cv2_conv")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=jnp.float32, name="cv2_bn")(y)
+        q = None
+        if not train:
+            quant.sow_calibration(self, y, conv="cv2_conv", bn="cv2_bn",
+                                  eps=1e-5)
+            q = quant.quantized_conv(
+                self, y, conv="cv2_conv", strides=(1, 1),
+                padding=((1, 1), (1, 1)), out_dtype=self.dtype)
+        if q is not None:
+            y = q
+        else:
+            y = nn.Conv(self.feat, (3, 3), padding=((1, 1), (1, 1)),
+                        use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="cv2_conv")(y)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32, name="cv2_bn")(y)
         return nn.relu(y + residual)
 
 
@@ -73,12 +96,22 @@ class Root(nn.Module):
 
     @nn.compact
     def __call__(self, children: Sequence[jax.Array], train: bool = False):
+        from tpucv import quant
+
         x = jnp.concatenate(list(children), axis=-1)
-        x = nn.Conv(self.feat, (1, 1), use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=jnp.float32, name="bn")(x)
+        q = None
+        if not train:
+            quant.sow_calibration(self, x, conv="conv", bn="bn", eps=1e-5)
+            q = quant.quantized_conv(self, x, conv="conv",
+                                     out_dtype=self.dtype)
+        if q is not None:
+            x = q
+        else:
+            x = nn.Conv(self.feat, (1, 1), use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="conv")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32, name="bn")(x)
         if self.residual:
             x = x + children[0]
         return nn.relu(x)
@@ -106,13 +139,23 @@ class Tree(nn.Module):
         bottom = nn.max_pool(x, (self.s, self.s), (self.s, self.s)) \
             if self.s > 1 else x
         if self.in_ch != self.out_ch:
-            proj = nn.Conv(self.out_ch, (1, 1), use_bias=False,
-                           dtype=self.dtype, param_dtype=jnp.float32,
-                           name="project_conv")(bottom)
-            proj = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, dtype=self.dtype,
-                                param_dtype=jnp.float32,
-                                name="project_bn")(proj)
+            from tpucv import quant
+
+            proj = None
+            if not train:
+                quant.sow_calibration(self, bottom, conv="project_conv",
+                                      bn="project_bn", eps=1e-5)
+                proj = quant.quantized_conv(self, bottom, conv="project_conv",
+                                            out_dtype=self.dtype)
+            if proj is None:
+                proj = nn.Conv(self.out_ch, (1, 1), use_bias=False,
+                               dtype=self.dtype, param_dtype=jnp.float32,
+                               name="project_conv")(bottom)
+                proj = nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype,
+                                    param_dtype=jnp.float32,
+                                    name="project_bn")(proj)
         else:
             proj = bottom
         # reference semantics (centernet_model.py:134-141): every Tree

@@ -24,7 +24,20 @@ class BNConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from tpucv import quant
+
         p = self.dilation * (self.k - 1) // 2
+        if not train:
+            # int8 PTQ hooks (tpucv/quant.py): inert unless calibrating or
+            # a 'quant' collection is supplied with the variables
+            quant.sow_calibration(self, x, conv="conv", bn="bn", eps=1e-5)
+            q = quant.quantized_conv(
+                self, x, conv="conv", strides=(self.s, self.s),
+                padding=((p, p), (p, p)),
+                dilation=(self.dilation, self.dilation),
+                out_dtype=self.dtype)
+            if q is not None:
+                return nn.relu(q) if self.act else q
         x = nn.Conv(self.feat, (self.k, self.k), strides=(self.s, self.s),
                     padding=((p, p), (p, p)),
                     kernel_dilation=(self.dilation, self.dilation),

@@ -45,22 +45,22 @@ class ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from tpucv import quant
+
         pad = autopad(self.k, self.p, self.d)
-        if not train and not self.is_initializing():
+        if not train:
             # Post-training int8 quantization hooks (tpucv/quant.py). The
             # reference has no quantized path (its deploy stubs are empty,
             # SURVEY §1.11); on TPU v5e the int8 MXU runs at 2x the bf16
             # rate, so inference convs can take an int8 fast path when a
             # precomputed 'quant' collection is supplied with the variables.
-            if self.is_mutable_collection("quant_stats"):
-                # calibration pass: record the input's absolute maximum
-                self.sow(
-                    "quant_stats", "in_absmax",
-                    jnp.max(jnp.abs(x)).astype(jnp.float32),
-                    init_fn=lambda: jnp.zeros((), jnp.float32),
-                    reduce_fn=jnp.maximum)
-            if self.has_variable("quant", "qkernel"):
-                return self._quantized_forward(x, pad)
+            quant.sow_calibration(self, x, conv="conv", bn="bn", eps=1e-3)
+            q = quant.quantized_conv(
+                self, x, conv="conv", strides=(self.s, self.s),
+                padding=((pad, pad), (pad, pad)), dilation=(self.d, self.d),
+                groups=self.g, out_dtype=self.dtype)
+            if q is not None:
+                return nn.silu(q) if self.act else q
         x = nn.Conv(
             features=self.out_ch,
             kernel_size=(self.k, self.k),
@@ -84,27 +84,6 @@ class ConvBnAct(nn.Module):
         if self.act:
             x = nn.silu(x)
         return x
-
-    def _quantized_forward(self, x: jax.Array, pad: int) -> jax.Array:
-        """int8 inference path: symmetric per-tensor activation x symmetric
-        per-output-channel weight (BN folded), int32 accumulation on the MXU.
-        The quant collection is built offline by tpucv.quant; conv/bn params
-        stay untouched so the same variables still serve the float path."""
-        qk = self.get_variable("quant", "qkernel")       # int8 (kh,kw,ci/g,co)
-        xscale = self.get_variable("quant", "xscale")    # () f32
-        scale = self.get_variable("quant", "scale")      # (co,) f32 = xs*ws
-        bias = self.get_variable("quant", "bias")        # (co,) f32 folded BN
-        xq = jnp.clip(
-            jnp.round(x.astype(jnp.float32) * (1.0 / xscale)),
-            -127.0, 127.0).astype(jnp.int8)
-        y = jax.lax.conv_general_dilated(
-            xq, qk, (self.s, self.s), ((pad, pad), (pad, pad)),
-            rhs_dilation=(self.d, self.d),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.g,
-            preferred_element_type=jnp.int32)
-        y = (y.astype(jnp.float32) * scale + bias).astype(self.dtype)
-        return nn.silu(y) if self.act else y
 
 
 class DWConv(nn.Module):

@@ -7,38 +7,106 @@ TPU-native equivalent: v5e's MXU runs int8 at ~2x the bf16 rate, so the
 conv-dominated detection forwards can roughly halve their MXU time.
 
 Scheme (standard TensorRT-style PTQ):
-  * weights: BatchNorm folded into the conv kernel, then symmetric
-    per-output-channel int8 (exact representable range, no zero points);
+  * weights: BatchNorm (and any conv bias) folded into the kernel/bias,
+    then symmetric per-output-channel int8 (no zero points);
   * activations: symmetric per-tensor int8, scale calibrated as the running
     absolute maximum over calibration batches;
-  * accumulation in int32 on the MXU, dequantize + bias + SiLU in f32/bf16
-    (fused by XLA into the conv epilogue).
+  * accumulation in int32 on the MXU, dequantize + bias + activation in
+    f32/bf16 (fused by XLA into the conv epilogue).
 
 Integration is transparent: ``quantize_for_inference`` returns the same
-variables dict plus a ``quant`` collection; every ``ConvBnAct`` that finds
-its entry takes the int8 path (``tpucv/nn/blocks.py``), everything else
-(stem, depthwise, heads, residual adds, decode) stays float.  The harness,
-predict CLI and bench all accept the augmented variables unchanged.
+variables dict plus a ``quant`` collection; every hooked conv+BN pair that
+finds its entry takes the int8 path, everything else (stems, depthwise,
+plain heads, residual adds, decode) stays float.  The harness, predict CLI
+and bench all accept the augmented variables unchanged.
 
-Skips: convs whose per-group input width is below ``min_in_ch`` (the
-3-channel stem and depthwise convs — MXU-hostile in int8 and
-accuracy-sensitive) and convs never hit during calibration.
+Model blocks opt in with two calls (see ``nn/blocks.py ConvBnAct``,
+``models/resnet.py BNConv``, ``models/centernet.py``, ``models/ssd.py``):
+
+    quant.sow_calibration(self, x, conv="conv", bn="bn", eps=1e-3)
+    q = quant.quantized_conv(self, x, conv="conv", strides=..., padding=...)
+    if q is not None:               # pre-activation, BN folded
+        return act(q)
+
+Keys are ``"<conv_child>::<bn_child>::in_absmax"`` in the calibration
+stats and ``"<conv_child>::qkernel|xscale|scale|bias"`` in the quant
+collection, so several conv+BN pairs can live in one module scope and the
+builder can find each pair's params/stats by name.
+
+Skips: convs whose per-group input width is below ``min_in_ch`` (3-channel
+stems and depthwise convs — MXU-hostile in int8 and accuracy-sensitive)
+and convs never hit during calibration.
 """
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
+import re
+from typing import Iterable
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
+_PAIR_RE = re.compile(r"^(.+)::(.+)::in_absmax$")
+
+
+# --------------------------------------------------------------------------
+# module-side hooks
+# --------------------------------------------------------------------------
+
+def sow_calibration(module, x: jax.Array, *, conv: str = "conv",
+                    bn: str = "bn", eps: float = 1e-5) -> None:
+    """Record the input absmax (and the pair's BN epsilon) for one conv+BN
+    pair during a calibration pass. No-op outside calibration."""
+    if module.is_initializing() or \
+            not module.is_mutable_collection("quant_stats"):
+        return
+    pre = f"{conv}::{bn}::"
+    zero = lambda: jnp.zeros((), jnp.float32)  # noqa: E731
+    module.sow("quant_stats", pre + "in_absmax",
+               jnp.max(jnp.abs(x)).astype(jnp.float32),
+               init_fn=zero, reduce_fn=jnp.maximum)
+    module.sow("quant_stats", pre + "eps", jnp.float32(eps),
+               init_fn=zero, reduce_fn=jnp.maximum)
+
+
+def quantized_conv(module, x: jax.Array, *, conv: str = "conv",
+                   strides=(1, 1), padding=((0, 0), (0, 0)),
+                   dilation=(1, 1), groups: int = 1, out_dtype=None):
+    """int8 inference path for one conv+BN pair: symmetric per-tensor
+    activation x symmetric per-output-channel weight (BN folded), int32
+    accumulation on the MXU. Returns the PRE-activation output in
+    ``out_dtype`` (the caller applies its own activation/residual), or
+    None when no quant entry exists (caller runs the float path). The
+    float params stay untouched so the same variables still serve both."""
+    if not module.has_variable("quant", f"{conv}::qkernel"):
+        return None
+    qk = module.get_variable("quant", f"{conv}::qkernel")     # int8
+    xscale = module.get_variable("quant", f"{conv}::xscale")  # () f32
+    scale = module.get_variable("quant", f"{conv}::scale")    # (co,) xs*ws
+    bias = module.get_variable("quant", f"{conv}::bias")      # (co,) folded
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * (1.0 / xscale)),
+        -127.0, 127.0).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, qk, strides, padding,
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * scale + bias
+    return y.astype(out_dtype) if out_dtype is not None else y
+
+
+# --------------------------------------------------------------------------
+# offline calibration + builder
+# --------------------------------------------------------------------------
 
 def calibrate(model, variables, batches: Iterable, **apply_kwargs):
-    """Run calibration batches through the model, collecting each quantizable
-    conv's input absolute maximum (sown by ``ConvBnAct``).  Returns the
-    ``quant_stats`` pytree (f32 scalars keyed by module scope)."""
+    """Run calibration batches through the model, collecting each hooked
+    conv's input absolute maximum. Returns the ``quant_stats`` pytree."""
+
     @jax.jit
     def run(v, x):
         _, aux = model.apply(v, x, mutable=["quant_stats"], **apply_kwargs)
@@ -54,19 +122,22 @@ def calibrate(model, variables, batches: Iterable, **apply_kwargs):
     return jax.device_get(stats)
 
 
-def _quantize_convbn(p, b, absmax: float, min_in_ch: int, bn_eps: float):
-    """Fold BN into one ConvBnAct's kernel and quantize. Returns the quant
-    entry dict, or None if the conv should stay float."""
-    kernel = np.asarray(p["conv"]["kernel"], np.float64)  # (kh,kw,ci/g,co)
+def _quantize_convbn(cp, bnp, bnb, absmax: float, min_in_ch: int,
+                     bn_eps: float):
+    """Fold one conv+BN pair and quantize. ``cp`` = conv params (kernel +
+    optional bias), ``bnp``/``bnb`` = BN params / batch stats. Returns the
+    quant entries (unprefixed), or None if the conv should stay float."""
+    kernel = np.asarray(cp["kernel"], np.float64)   # (kh,kw,ci/g,co)
     if kernel.shape[2] < min_in_ch or not np.isfinite(absmax) or absmax <= 0:
         return None
-    gamma = np.asarray(p["bn"]["scale"], np.float64)
-    beta = np.asarray(p["bn"]["bias"], np.float64)
-    mean = np.asarray(b["bn"]["mean"], np.float64)
-    var = np.asarray(b["bn"]["var"], np.float64)
+    gamma = np.asarray(bnp["scale"], np.float64)
+    beta = np.asarray(bnp["bias"], np.float64)
+    mean = np.asarray(bnb["mean"], np.float64)
+    var = np.asarray(bnb["var"], np.float64)
     f = gamma / np.sqrt(var + bn_eps)
-    w = kernel * f                       # fold: conv then BN == conv(w*f)+bias
-    bias = beta - mean * f
+    w = kernel * f                     # fold: conv then BN == conv(w*f)+bias
+    cbias = np.asarray(cp["bias"], np.float64) if "bias" in cp else 0.0
+    bias = beta + (cbias - mean) * f
     wmax = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0)
     wscale = np.where(wmax > 0, wmax / 127.0, 1.0)
     qkernel = np.clip(np.round(w / wscale), -127, 127).astype(np.int8)
@@ -79,52 +150,61 @@ def _quantize_convbn(p, b, absmax: float, min_in_ch: int, bn_eps: float):
     }
 
 
-def build_quant_collection(variables, quant_stats, *, min_in_ch: int = 8,
-                           bn_eps: float = 1e-3):
+def build_quant_collection(variables, quant_stats, *, min_in_ch: int = 8):
     """Walk the calibration stats and build the ``quant`` collection.
 
-    ``quant_stats`` marks exactly the ConvBnAct scopes that executed during
-    calibration; params/batch_stats are indexed by the same scope paths, so
-    the three trees are walked in lockstep."""
+    ``quant_stats`` marks exactly the conv+BN pairs that executed during
+    calibration (keys ``<conv>::<bn>::in_absmax`` at their module scope);
+    params/batch_stats are indexed by the same scope paths, so the trees
+    are walked in lockstep."""
     params = variables["params"]
     bstats = variables.get("batch_stats", {})
 
     def rec(p, b, q):
-        if "in_absmax" in q:
-            # this scope IS a ConvBnAct (model root is the block itself)
-            return _quantize_convbn(
-                p, b, float(q["in_absmax"]), min_in_ch, bn_eps) or {}
         out = {}
         for name, qchild in q.items():
-            if not isinstance(qchild, dict):
-                continue
-            pchild = p.get(name, {}) if isinstance(p, dict) else {}
-            bchild = b.get(name, {}) if isinstance(b, dict) else {}
-            sub = rec(pchild, bchild, qchild)
-            if sub:
-                out[name] = sub
+            m = _PAIR_RE.match(name)
+            if m:
+                cname, bnname = m.group(1), m.group(2)
+                eps = float(q.get(f"{cname}::{bnname}::eps", 1e-5))
+                cp = p.get(cname) if isinstance(p, dict) else None
+                bnp = p.get(bnname) if isinstance(p, dict) else None
+                bnb = b.get(bnname, {}) if isinstance(b, dict) else {}
+                if not (isinstance(cp, dict) and isinstance(bnp, dict)):
+                    raise KeyError(
+                        f"quant pair {cname}::{bnname} sown but params "
+                        f"missing at the same scope")
+                entry = _quantize_convbn(
+                    cp, bnp, bnb, float(qchild), min_in_ch, eps)
+                if entry is not None:
+                    for k, v in entry.items():
+                        out[f"{cname}::{k}"] = v
+            elif isinstance(qchild, dict):
+                pchild = p.get(name, {}) if isinstance(p, dict) else {}
+                bchild = b.get(name, {}) if isinstance(b, dict) else {}
+                sub = rec(pchild, bchild, qchild)
+                if sub:
+                    out[name] = sub
         return out
 
     return rec(params, bstats, quant_stats)
 
 
 def quantize_for_inference(model, variables, calib_batches: Iterable, *,
-                           min_in_ch: int = 8, bn_eps: float = 1e-3,
-                           **apply_kwargs):
+                           min_in_ch: int = 8, **apply_kwargs):
     """One-call PTQ: calibrate on ``calib_batches`` (model-input batches,
     i.e. normalized images for the detection models) and return ``variables``
     augmented with the ``quant`` collection.  Pass the result anywhere plain
     variables go (predict / evaluate / infer_fn)."""
     stats = calibrate(model, variables, calib_batches, **apply_kwargs)
-    quant = build_quant_collection(
-        variables, stats, min_in_ch=min_in_ch, bn_eps=bn_eps)
+    quant = build_quant_collection(variables, stats, min_in_ch=min_in_ch)
     return dict(variables, quant=quant)
 
 
 def count_quantized(quant) -> int:
-    """Number of convs on the int8 path (leaf entries in the collection)."""
+    """Number of convs on the int8 path (qkernel entries)."""
     if not isinstance(quant, dict):
         return 0
-    if "qkernel" in quant:
-        return 1
-    return sum(count_quantized(v) for v in quant.values())
+    n = sum(1 for k in quant if k.endswith("::qkernel"))
+    return n + sum(count_quantized(v) for v in quant.values()
+                   if isinstance(v, dict))
