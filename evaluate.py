@@ -72,6 +72,24 @@ def main():
         return
 
     ds = get_dataset_cfg(cfg.dataset.name)
+    if cfg.model_name == "deeplabv3plus":   # semantic segmentation: mIoU
+        from tpucv.data.loader import Loader, segmentation_collate
+        from tpucv.data.segmentation_dataset import (
+            SegmentationDataset, build_voc_seg_samples,
+            synthetic_seg_samples)
+        crop = cfg.arch.crop_size
+        if os.path.isdir(os.path.join(ds["root"], "SegmentationClass")):
+            samples = build_voc_seg_samples(ds["root"], args.subset)
+        else:
+            print(f"dataset root {ds['root']!r} not found — synthetic "
+                  f"seg data")
+            samples = synthetic_seg_samples(8, crop, cfg.num_classes, 1)
+        variables = maybe_quantize(variables, samples)
+        loader = Loader(SegmentationDataset(samples, crop, train=False),
+                        args.batch_size, shuffle=False,
+                        collate=segmentation_collate)
+        algo.evaluate_on_voc(variables, loader)
+        return
     if cfg.model_name == "yolo8_pose":      # person keypoints + OKS mAP
         from tpucv.data.pose_dataset import (COCOKeypointIndex,
                                              SyntheticPoseIndex)

@@ -127,9 +127,9 @@ class DetectionAlgorithm:
         qv = quant.quantize_for_inference(model, variables, batches())
         if quant.count_quantized(qv["quant"]) == 0:
             raise ValueError(
-                f"{type(model).__name__} has no quantizable convs (int8 "
-                f"currently covers the ConvBnAct stacks: YOLOv8 det/seg/"
-                f"pose and YOLOv7); refusing to silently run float")
+                f"{type(model).__name__} has no quantizable convs — its "
+                f"blocks lack the sow_calibration/quantized_conv hooks "
+                f"(see tpucv/quant.py); refusing to silently run float")
         return qv
 
     # -------- shared inference plumbing ----------------------------------

@@ -33,24 +33,12 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # int8 PTQ hooks ride in quant.conv_bn (tpucv/quant.py)
         from tpucv import quant
 
-        p = self.k // 2
-        if not train:
-            # int8 PTQ hooks (tpucv/quant.py): inert without calibration
-            # or a supplied 'quant' collection
-            quant.sow_calibration(self, x, conv="conv", bn="bn", eps=1e-5)
-            q = quant.quantized_conv(
-                self, x, conv="conv", strides=(self.s, self.s),
-                padding=((p, p), (p, p)), out_dtype=self.dtype)
-            if q is not None:
-                return nn.relu(q)
-        x = nn.Conv(self.feat, (self.k, self.k), strides=(self.s, self.s),
-                    padding=((p, p), (p, p)), use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=jnp.float32, name="bn")(x)
+        x = quant.conv_bn(self, x, features=self.feat, kernel=self.k,
+                          strides=self.s, padding=self.k // 2,
+                          dtype=self.dtype, train=train)
         return nn.relu(x)
 
 
@@ -67,22 +55,9 @@ class BasicBlock(nn.Module):
 
         y = ConvBNReLU(self.feat, 3, self.s, dtype=self.dtype, name="cv1")(
             x, train)
-        q = None
-        if not train:
-            quant.sow_calibration(self, y, conv="cv2_conv", bn="cv2_bn",
-                                  eps=1e-5)
-            q = quant.quantized_conv(
-                self, y, conv="cv2_conv", strides=(1, 1),
-                padding=((1, 1), (1, 1)), out_dtype=self.dtype)
-        if q is not None:
-            y = q
-        else:
-            y = nn.Conv(self.feat, (3, 3), padding=((1, 1), (1, 1)),
-                        use_bias=False, dtype=self.dtype,
-                        param_dtype=jnp.float32, name="cv2_conv")(y)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             param_dtype=jnp.float32, name="cv2_bn")(y)
+        y = quant.conv_bn(self, y, features=self.feat, kernel=3, padding=1,
+                          conv="cv2_conv", bn="cv2_bn", dtype=self.dtype,
+                          train=train)
         return nn.relu(y + residual)
 
 
@@ -99,19 +74,8 @@ class Root(nn.Module):
         from tpucv import quant
 
         x = jnp.concatenate(list(children), axis=-1)
-        q = None
-        if not train:
-            quant.sow_calibration(self, x, conv="conv", bn="bn", eps=1e-5)
-            q = quant.quantized_conv(self, x, conv="conv",
-                                     out_dtype=self.dtype)
-        if q is not None:
-            x = q
-        else:
-            x = nn.Conv(self.feat, (1, 1), use_bias=False, dtype=self.dtype,
-                        param_dtype=jnp.float32, name="conv")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             param_dtype=jnp.float32, name="bn")(x)
+        x = quant.conv_bn(self, x, features=self.feat, kernel=1,
+                          dtype=self.dtype, train=train)
         if self.residual:
             x = x + children[0]
         return nn.relu(x)
@@ -141,21 +105,10 @@ class Tree(nn.Module):
         if self.in_ch != self.out_ch:
             from tpucv import quant
 
-            proj = None
-            if not train:
-                quant.sow_calibration(self, bottom, conv="project_conv",
-                                      bn="project_bn", eps=1e-5)
-                proj = quant.quantized_conv(self, bottom, conv="project_conv",
-                                            out_dtype=self.dtype)
-            if proj is None:
-                proj = nn.Conv(self.out_ch, (1, 1), use_bias=False,
-                               dtype=self.dtype, param_dtype=jnp.float32,
-                               name="project_conv")(bottom)
-                proj = nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, epsilon=1e-5,
-                                    dtype=self.dtype,
-                                    param_dtype=jnp.float32,
-                                    name="project_bn")(proj)
+            proj = quant.conv_bn(self, bottom, features=self.out_ch,
+                                 kernel=1, conv="project_conv",
+                                 bn="project_bn", dtype=self.dtype,
+                                 train=train)
         else:
             proj = bottom
         # reference semantics (centernet_model.py:134-141): every Tree

@@ -24,28 +24,14 @@ class BNConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # int8 PTQ hooks ride in quant.conv_bn (inert unless calibrating
+        # or a 'quant' collection is supplied with the variables)
         from tpucv import quant
 
-        p = self.dilation * (self.k - 1) // 2
-        if not train:
-            # int8 PTQ hooks (tpucv/quant.py): inert unless calibrating or
-            # a 'quant' collection is supplied with the variables
-            quant.sow_calibration(self, x, conv="conv", bn="bn", eps=1e-5)
-            q = quant.quantized_conv(
-                self, x, conv="conv", strides=(self.s, self.s),
-                padding=((p, p), (p, p)),
-                dilation=(self.dilation, self.dilation),
-                out_dtype=self.dtype)
-            if q is not None:
-                return nn.relu(q) if self.act else q
-        x = nn.Conv(self.feat, (self.k, self.k), strides=(self.s, self.s),
-                    padding=((p, p), (p, p)),
-                    kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                    name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=jnp.float32, name="bn")(x)
+        x = quant.conv_bn(
+            self, x, features=self.feat, kernel=self.k, strides=self.s,
+            padding=self.dilation * (self.k - 1) // 2,
+            dilation=self.dilation, dtype=self.dtype, train=train)
         return nn.relu(x) if self.act else x
 
 

@@ -85,23 +85,11 @@ class SSD(nn.Module):
         f1 = None
         for bi, (ch, n) in enumerate(VGG16_BLOCKS):
             for _ in range(n):
-                q = None
-                if not train:
-                    # int8 PTQ hooks (tpucv/quant.py); the conv bias folds
-                    # into the quantized bias alongside BN
-                    quant.sow_calibration(self, x, conv=f"vgg{ci}_conv",
-                                          bn=f"vgg{ci}_bn", eps=1e-5)
-                    q = quant.quantized_conv(
-                        self, x, conv=f"vgg{ci}_conv",
-                        padding=((1, 1), (1, 1)), out_dtype=dt)
-                if q is not None:
-                    x = q
-                else:
-                    x = conv(x, ch, 3, 1, 1, f"vgg{ci}_conv")
-                    x = nn.BatchNorm(use_running_average=not train,
-                                     momentum=0.9, epsilon=1e-5, dtype=dt,
-                                     param_dtype=jnp.float32,
-                                     name=f"vgg{ci}_bn")(x)
+                # int8 PTQ hooks ride in quant.conv_bn; the conv bias
+                # folds into the quantized bias alongside BN
+                x = quant.conv_bn(self, x, features=ch, kernel=3, padding=1,
+                                  use_bias=True, conv=f"vgg{ci}_conv",
+                                  bn=f"vgg{ci}_bn", dtype=dt, train=train)
                 x = nn.relu(x)
                 ci += 1
             if bi == 3:

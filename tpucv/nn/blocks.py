@@ -45,42 +45,18 @@ class ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # quant.conv_bn carries the int8 PTQ hooks (tpucv/quant.py): the
+        # reference has no quantized path (its deploy stubs are empty,
+        # SURVEY §1.11); on TPU v5e the int8 MXU runs at 2x the bf16 rate,
+        # so inference convs take an int8 fast path when a precomputed
+        # 'quant' collection is supplied with the variables.
         from tpucv import quant
 
-        pad = autopad(self.k, self.p, self.d)
-        if not train:
-            # Post-training int8 quantization hooks (tpucv/quant.py). The
-            # reference has no quantized path (its deploy stubs are empty,
-            # SURVEY §1.11); on TPU v5e the int8 MXU runs at 2x the bf16
-            # rate, so inference convs can take an int8 fast path when a
-            # precomputed 'quant' collection is supplied with the variables.
-            quant.sow_calibration(self, x, conv="conv", bn="bn", eps=1e-3)
-            q = quant.quantized_conv(
-                self, x, conv="conv", strides=(self.s, self.s),
-                padding=((pad, pad), (pad, pad)), dilation=(self.d, self.d),
-                groups=self.g, out_dtype=self.dtype)
-            if q is not None:
-                return nn.silu(q) if self.act else q
-        x = nn.Conv(
-            features=self.out_ch,
-            kernel_size=(self.k, self.k),
-            strides=(self.s, self.s),
-            padding=((pad, pad), (pad, pad)),
-            feature_group_count=self.g,
-            kernel_dilation=(self.d, self.d),
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.97,
-            epsilon=1e-3,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="bn",
-        )(x)
+        x = quant.conv_bn(
+            self, x, features=self.out_ch, kernel=self.k,
+            strides=self.s, padding=autopad(self.k, self.p, self.d),
+            dilation=self.d, groups=self.g, conv="conv", bn="bn",
+            eps=1e-3, momentum=0.97, dtype=self.dtype, train=train)
         if self.act:
             x = nn.silu(x)
         return x

@@ -99,6 +99,41 @@ def quantized_conv(module, x: jax.Array, *, conv: str = "conv",
     return y.astype(out_dtype) if out_dtype is not None else y
 
 
+def conv_bn(module, x: jax.Array, *, features: int, kernel=1, strides=1,
+            padding=0, dilation=1, groups: int = 1, use_bias: bool = False,
+            conv: str = "conv", bn: str = "bn", eps: float = 1e-5,
+            momentum: float = 0.9, dtype=jnp.float32, train: bool = False):
+    """One conv+BN pair with the int8 PTQ hooks, returning the
+    PRE-activation output (caller applies its own activation/residual).
+
+    Call from inside ``@nn.compact`` — the float ``nn.Conv``/``nn.BatchNorm``
+    submodules are created with the given names in the CALLER's scope, so
+    the param tree is identical to writing them inline. During inference the
+    pair sows calibration stats and takes the int8 path when its quant
+    entry is present; training always runs the float path (BN batch stats).
+    """
+    from flax import linen as nn
+
+    k = (kernel, kernel) if isinstance(kernel, int) else tuple(kernel)
+    st = (strides, strides) if isinstance(strides, int) else tuple(strides)
+    pd = ((padding, padding),) * 2 if isinstance(padding, int) \
+        else tuple(padding)
+    dl = (dilation, dilation) if isinstance(dilation, int) \
+        else tuple(dilation)
+    if not train:
+        sow_calibration(module, x, conv=conv, bn=bn, eps=eps)
+        q = quantized_conv(module, x, conv=conv, strides=st, padding=pd,
+                           dilation=dl, groups=groups, out_dtype=dtype)
+        if q is not None:
+            return q
+    y = nn.Conv(features, k, strides=st, padding=pd, kernel_dilation=dl,
+                feature_group_count=groups, use_bias=use_bias, dtype=dtype,
+                param_dtype=jnp.float32, name=conv)(x)
+    return nn.BatchNorm(use_running_average=not train, momentum=momentum,
+                        epsilon=eps, dtype=dtype, param_dtype=jnp.float32,
+                        name=bn)(y)
+
+
 # --------------------------------------------------------------------------
 # offline calibration + builder
 # --------------------------------------------------------------------------
