@@ -182,6 +182,31 @@ def main():
     ips_h2d = batch * n2 / (time.perf_counter() - t0)
     _log("main: h2d loop done")
 
+    # 3) int8 PTQ variant of the same program (the deploy path; v5e int8
+    # MXU peak is 2x bf16). Guarded: a lowering problem must not take down
+    # the headline numbers.
+    int8_ips = None
+    try:
+        from tpucv import quant as _q
+
+        @jax.jit
+        def _prep(raw_u8):
+            lb, _, _ = letterbox_static(raw_u8, S)
+            return normalize_images(lb, jnp.bfloat16)
+
+        _log("main: int8 calibrate+build")
+        qv = _q.quantize_for_inference(
+            model, variables, [_prep(dev_batches[0])])
+        _log("main: compiling int8 infer")
+        float(infer(qv, dev_batches[0]))               # compile + first exec
+        t0 = time.perf_counter()
+        outs = [infer(qv, dev_batches[i % 4]) for i in range(n_iters)]
+        float(outs[-1])                                # fence
+        int8_ips = batch * n_iters / (time.perf_counter() - t0)
+        _log("main: int8 loop done")
+    except Exception as e:                             # pragma: no cover
+        _log(f"int8 bench failed: {type(e).__name__}: {e}")
+
     train_ips, train_ms = bench_train_step()
 
     print(json.dumps({
@@ -191,6 +216,7 @@ def main():
         "vs_baseline": round(ips / 5000.0, 4),
         "h2d_img_per_sec": round(ips_h2d, 2),
         "h2d_gbytes_per_sec": round(bw, 3),
+        "int8_img_per_sec": round(int8_ips, 2) if int8_ips else None,
         "train_img_per_sec": round(train_ips, 2),
         "train_step_ms": round(train_ms, 2),
         "pipeline": "uint8 480x640 -> on-chip letterbox(pad)+normalize"
