@@ -9,6 +9,25 @@ from tpucv.builder import export_from_registry
 from tpucv.ckpt.checkpoint import CheckPoint
 
 
+def _video_calib_frames(path: str, n: int = 8):
+    """First n frames of a video as an int8-calibration index (RGB)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise SystemExit(f"cannot open video {path}")
+    frames = []
+    while len(frames) < n:
+        ok, bgr = cap.read()
+        if not ok:
+            break
+        frames.append((cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB),))
+    cap.release()
+    if not frames:
+        raise SystemExit(f"no decodable frames in {path}")
+    return frames
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", type=str, required=True)
@@ -34,7 +53,11 @@ def main():
         from scripts.detect import detect_video
         assert len(args.src) == 1, "--type video takes one --src path"
         if args.int8:
-            raise SystemExit("--int8 currently supports --type image only")
+            if not hasattr(algo, "quantize_variables"):
+                raise SystemExit(f"--int8 is not supported for {args.model}")
+            variables = algo.quantize_variables(
+                variables, _video_calib_frames(args.src[0]), n_images=8,
+                batch_size=4)
         detect_video(algo, variables, args.src[0], args.dst)
         return
 
