@@ -20,15 +20,16 @@ finds its entry takes the int8 path, everything else (stems, depthwise,
 plain heads, residual adds, decode) stays float.  The harness, predict CLI
 and bench all accept the augmented variables unchanged.
 
-Model blocks opt in with two calls (see ``nn/blocks.py ConvBnAct``,
-``models/resnet.py BNConv``, ``models/centernet.py``, ``models/ssd.py``):
+Model blocks opt in by building their conv+BN pair through ``conv_bn``
+(see ``nn/blocks.py ConvBnAct``, ``models/resnet.py BNConv``,
+``models/centernet.py``, ``models/ssd.py``):
 
-    quant.sow_calibration(self, x, conv="conv", bn="bn", eps=1e-3)
-    q = quant.quantized_conv(self, x, conv="conv", strides=..., padding=...)
-    if q is not None:               # pre-activation, BN folded
-        return act(q)
+    y = quant.conv_bn(self, x, features=c, kernel=3, padding=1,
+                      conv="conv", bn="bn", eps=1e-5, dtype=dt, train=train)
+    return act(y)      # pre-activation output; float path if no quant entry
 
-Keys are ``"<conv_child>::<bn_child>::in_absmax"`` in the calibration
+(``sow_calibration`` + ``quantized_conv`` remain available for blocks that
+need the pieces separately.) Keys are ``"<conv_child>::<bn_child>::in_absmax"`` in the calibration
 stats and ``"<conv_child>::qkernel|xscale|scale|bias"`` in the quant
 collection, so several conv+BN pairs can live in one module scope and the
 builder can find each pair's params/stats by name.
