@@ -68,16 +68,61 @@ def extract_weights_from_torch_model(model_name: str, pt_path: str,
     print(f"wrote {out_path}")
 
 
+def quantize_checkpoint(model_name: str, weights_path: str, out_path: str,
+                        calib_dir: str = ""):
+    """Pure-weights file -> int8 deploy bundle: calibrate once (images from
+    ``calib_dir`` if given, else the synthetic detection set) and save the
+    variables WITH the 'quant' collection. predict/evaluate load it like
+    any checkpoint and take the int8 path automatically (tpucv/quant.py)."""
+    from tpucv import quant
+    from tpucv.builder import export_from_registry
+    from tpucv.ckpt.checkpoint import CheckPoint
+
+    cfg, algo_cls, _ = export_from_registry(model_name)
+    algo = algo_cls(cfg)
+    if not hasattr(algo, "quantize_variables"):
+        raise SystemExit(f"--int8 is not supported for {model_name}")
+    variables = algo.init_variables()
+    variables = CheckPoint.load_pure(weights_path, dict(variables))
+    if calib_dir:
+        import glob
+        paths = sorted(
+            p for p in glob.glob(os.path.join(calib_dir, "*"))
+            if p.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
+        if not paths:
+            raise SystemExit(f"no images found in {calib_dir!r}")
+        index = [(p,) for p in paths]
+    else:
+        from tpucv.data.detection_dataset import SyntheticDetectionIndex
+        print("no --calib-dir given — calibrating on synthetic data")
+        index = SyntheticDetectionIndex(
+            16, cfg.dataset.input_size, cfg.num_classes, max_objects=3,
+            seed=7)
+    qv = algo.quantize_variables(variables, index,
+                                 n_images=min(32, len(index)))
+    n = quant.count_quantized(qv["quant"])
+    CheckPoint.save_pure(qv, out_path)
+    print(f"wrote {out_path} ({n} convs int8)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True)
     ap.add_argument("--src", required=True, help="input .ckpt or torch .pt")
     ap.add_argument("--dst", required=True, help="output weights file")
+    ap.add_argument("--int8", action="store_true",
+                    help="also fold+quantize: write an int8 deploy bundle "
+                         "(calibrated on --calib-dir images or synthetic "
+                         "data)")
+    ap.add_argument("--calib-dir", default="",
+                    help="directory of calibration images for --int8")
     args = ap.parse_args()
     if args.src.endswith((".pt", ".pth")):
         extract_weights_from_torch_model(args.model, args.src, args.dst)
     else:
         extract_from_checkpoint(args.model, args.src, args.dst)
+    if args.int8:
+        quantize_checkpoint(args.model, args.dst, args.dst, args.calib_dir)
 
 
 if __name__ == "__main__":

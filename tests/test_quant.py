@@ -225,6 +225,15 @@ def test_quant_collection_checkpoint_roundtrip(tmp_path):
     assert restored["quant"]["conv::qkernel"].dtype == jnp.int8
     np.testing.assert_array_equal(np.asarray(m.apply(qv, x)),
                                   np.asarray(m.apply(restored, x)))
+    # the CLI path: init-variables template has NO quant collection, but
+    # the saved bundle's must ride along (predict --ckpt int8_bundle)
+    tmpl = {"params": jax.tree.map(jnp.zeros_like, v["params"]),
+            "batch_stats": jax.tree.map(jnp.zeros_like, v["batch_stats"])}
+    restored2 = CheckPoint.load_pure(path, tmpl)
+    assert "quant" in restored2
+    assert np.asarray(restored2["quant"]["conv::qkernel"]).dtype == np.int8
+    np.testing.assert_array_equal(np.asarray(m.apply(qv, x)),
+                                  np.asarray(m.apply(restored2, x)))
 
 
 def test_quantized_export_round_trip():

@@ -41,20 +41,28 @@ class CheckPoint:
     @staticmethod
     def load_pure(path: str, template: Any) -> Any:
         """Accepts either a pure variables file or a full-state file
-        (mirrors reference ckpt.py:69-75 tolerance)."""
+        (mirrors reference ckpt.py:69-75 tolerance). A saved ``quant``
+        collection (int8 deploy bundle, tpucv/quant.py) rides along even
+        when the init-variables template doesn't have one, so quantized
+        checkpoints load through the same CLI path as float ones."""
         with open(path, "rb") as f:
             raw = f.read()
+        state_dict = serialization.msgpack_restore(raw)
         try:
-            return serialization.from_bytes(template, raw)
+            out = serialization.from_bytes(template, raw)
         except Exception:
-            # maybe a full TrainState: pull params/batch_stats out
-            state_dict = serialization.msgpack_restore(raw)
-            return {
+            # a full TrainState bundle: pull params/batch_stats out
+            out = {
                 "params": serialization.from_state_dict(
                     template["params"], state_dict["params"]),
                 "batch_stats": serialization.from_state_dict(
                     template["batch_stats"], state_dict["batch_stats"]),
             }
+        if isinstance(state_dict, dict) and "quant" in state_dict \
+                and "quant" not in out:
+            # flax restore silently drops keys absent from the template
+            out = dict(out, quant=state_dict["quant"])
+        return out
 
 
 def _overlay_matching(init: Any, loaded: Any, stats: dict, prefix: str = ""):
