@@ -116,18 +116,22 @@ def test_voc_index_keeps_difficult_flagged(tmp_path):
 
 
 def test_evaluate_on_voc_difficult_is_ignore(tmp_path):
+    from tpucv.configs.dataset_cfg import VOC_CLASSES
+
     index = VOCDetectionIndex(_write_voc(tmp_path), split="val")
     algo = _algo()
+    algo.class_names = list(VOC_CLASSES)        # VOC xml, VOC name table
+    cid = VOC_CLASSES.index("aeroplane")        # order-agnostic class id
 
     def fake_batched(variables, idx, batch_size, conf_threshold):
         yield 0, np.array([[100.0, 100.0, 200.0, 200.0],
                            [10.0, 10.0, 40.0, 40.0]], np.float32), \
-            np.array([0.9, 0.8], np.float32), np.array([0, 0], np.int32)
+            np.array([0.9, 0.8], np.float32), \
+            np.array([cid, cid], np.int32)
 
     algo._batched_detections = fake_batched
     res = algo.evaluate_on_voc(None, index)
-    cls0 = algo.class_names[0]
-    assert res["per_class"][cls0]["n_gt"] == 1     # difficult not counted
+    assert res["per_class"]["aeroplane"]["n_gt"] == 1   # difficult ignored
     assert res["mAP"] == pytest.approx(1.0)
 
 

@@ -27,7 +27,7 @@ pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(os.path.join(REF, "core")),
     reason="reference checkout not available")]
 
-VOC_N = 12  # synthetic images (3 in val)
+VOC_N = 48  # synthetic images (12 in val: smoother AP quantization)
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -166,27 +166,80 @@ def test_gt_txt_matches_reference_writer(synthetic_voc, tmp_path):
 
 def test_full_e2e_published_map_parity(synthetic_voc, tmp_path, monkeypatch):
     """Same weights, both frameworks' complete evaluate_on_voc, same
-    synthetic VOC -> the two published mAP@0.5 numbers agree."""
+    synthetic VOC -> the two published mAP@0.5 numbers agree.
+
+    The weights are BRIEFLY TRAINED here with the reference's own Loss on
+    the synthetic train split. This is load-bearing, not convenience
+    (round-3 finding): at random init the BN running stats are (0, 1) and
+    the input's influence decays below fp32 resolution through ~60
+    eval-mode BN+SiLU layers — every image yields identical all-tied
+    detections and the two 0.0 mAPs match vacuously. Calibrating BN stats
+    alone restores signal but puts the random net in the chaotic regime,
+    where torch-vs-XLA fp32 rounding (~1e-7/layer) amplifies exponentially
+    and the two frameworks' detections legitimately decorrelate. Trained
+    weights are contractive AND input-sensitive — the only regime where a
+    cross-framework published-number comparison is well-posed.
+    """
+    import cv2
     import torch
     import core.algorithms.yolo_v8 as ref_algo_mod
     from configs import Yolo8DetConfig
+    from core.algorithms.yolo_v8 import Loss as RefLoss
     from core.models.yolov8.yolo_v8 import get_yolo8_n
 
     from tpucv.builder import export_from_registry
     from tpucv.ckpt.importer import import_yolov8, merge_into_variables
     from tpucv.data.voc import VOCDetectionIndex
 
-    # ---- shared weights: random-init torch yolo8n(nc=20), imported ----
+    S = 160          # train AND eval size (both frameworks)
+
+    # ---- shared weights: torch yolo8n(nc=20) trained by the REFERENCE ----
     torch.manual_seed(7)
     tm = get_yolo8_n(nc=20)
-    # ultralytics' cls-bias init puts every random-init score below the 0.001
-    # conf floor, which trips a latent reference bug (yolo_v8.py:279 assigns
-    # into the decode_box tuple when an image has zero detections). Raise the
-    # cls biases so every image yields real detections for the comparison.
     for m in tm.modules():
         if type(m).__name__ == "Detect":
             for seq in m.cv3:
                 torch.nn.init.constant_(seq[-1].bias, -3.0)
+
+    tr_index = VOCDetectionIndex(synthetic_voc, split="train")
+    xs, metas = [], []
+    for i in range(len(tr_index)):
+        path, boxes, labels = tr_index[i]
+        img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        h, w = img.shape[:2]
+        xs.append(cv2.resize(img, (S, S)).astype(np.float32) / 255.0)
+        b = np.asarray(boxes, np.float32)
+        sx, sy = S / w, S / h
+        cx = (b[:, 0] + b[:, 2]) / 2 * sx / S
+        cy = (b[:, 1] + b[:, 3]) / 2 * sy / S
+        bw = (b[:, 2] - b[:, 0]) * sx / S
+        bh = (b[:, 3] - b[:, 1]) * sy / S
+        metas.append((np.stack([cx, cy, bw, bh], 1),
+                      np.asarray(labels, np.float32)))
+
+    ref_loss_cfg = Yolo8DetConfig()
+    ref_loss_cfg.dataset.num_classes = 20
+    criterion = RefLoss(ref_loss_cfg, tm)
+    opt = torch.optim.Adam(tm.parameters(), lr=2e-3)
+    tm.train()
+    n_train, B = len(xs), 4
+    for step in range(600):
+        sel = [(step * B + j) % n_train for j in range(B)]
+        x = torch.from_numpy(
+            np.stack([xs[i] for i in sel]).transpose(0, 3, 1, 2))
+        bidx, cls, bb = [], [], []
+        for j, i in enumerate(sel):
+            boxes_n, labels = metas[i]
+            bidx.extend([j] * len(labels))
+            cls.extend(labels)
+            bb.extend(boxes_n)
+        batch = {"batch_idx": torch.tensor(bidx, dtype=torch.float32),
+                 "cls": torch.tensor(cls, dtype=torch.float32)[:, None],
+                 "bboxes": torch.tensor(np.asarray(bb, np.float32))}
+        total, _ = criterion(tm(x), batch)
+        opt.zero_grad()
+        total.backward()
+        opt.step()
     tm.eval()
     for mod in tm.modules():
         mod.training = False
@@ -195,6 +248,10 @@ def test_full_e2e_published_map_parity(synthetic_voc, tmp_path, monkeypatch):
     cfg, algo_cls, _ = export_from_registry("yolo8_det")
     cfg.dataset.name = "voc"
     cfg.dataset.num_classes = 20
+    cfg.dataset.input_size = S
+    # flood every anchor into NMS like the reference does at eval conf
+    # (max_nms=30000, ultralytics_ops.py:166); 160^2 has 525 anchors
+    cfg.decode.pre_nms_topk = 512
     algo = algo_cls(cfg)
     model = algo.build_model()
     variables = algo.init_variables(model)
@@ -206,6 +263,7 @@ def test_full_e2e_published_map_parity(synthetic_voc, tmp_path, monkeypatch):
     ref_cfg = Yolo8DetConfig()
     ref_cfg.dataset.num_classes = 20
     ref_cfg.dataset.dataset_name = "voc"
+    ref_cfg.arch.input_size = (3, S, S)
     ref_algo_mod.VOC_CFG["root"] = synthetic_voc
     captured = {}
     real_get_map = ref_algo_mod.get_map
@@ -229,9 +287,15 @@ def test_full_e2e_published_map_parity(synthetic_voc, tmp_path, monkeypatch):
     res = algo.evaluate_on_voc(variables, index, batch_size=4,
                                conf_threshold=0.001, verbose=False)
 
-    # box parity is ~2e-4 (golden pipeline); residual mAP drift comes from
-    # the reference's int-truncated txt coords and near-tied noise scores
-    assert res["mAP"] == pytest.approx(ref_map, abs=0.02)
+    # anti-vacuous guard: the trained weights must actually detect —
+    # 0.0 == 0.0 would prove nothing
+    print(f"reference mAP@0.5={ref_map:.4f}  tpucv mAP@0.5={res['mAP']:.4f}")
+    assert ref_map > 0.05, f"vacuous comparison: reference mAP={ref_map}"
+    # measured agreement is ~2e-4 (round 3, after fixing the VOC class
+    # ORDER to the reference's and matching its unclipped eval reverse
+    # mapping); the tolerance covers the reference's int-truncated txt
+    # coords + 4dp score rounding at this AP quantization
+    assert res["mAP"] == pytest.approx(ref_map, abs=0.01)
 
 
 def test_lamr_matches_reference_formula():

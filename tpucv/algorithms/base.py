@@ -275,10 +275,14 @@ class DetectionAlgorithm:
             for j, i in enumerate(idxs):
                 v = valid_b[j]
                 pre_x, pre_y = prescales[j]
+                # clip=False: the reference's eval protocol never clips
+                # boxes to the image (image_process.py:69-97), and clipped
+                # boxes score higher IoU — published numbers must not
+                # flatter the framework
                 boxes = reverse_letter_box(
                     boxes_b[j][v],
                     (float(scale_b[j]) * pre_x, float(scale_b[j]) * pre_y),
-                    tuple(pad_b[j]), oshapes[j])
+                    tuple(pad_b[j]), oshapes[j], clip=False)
                 yield i, boxes, scores_b[j][v], classes_b[j][v]
 
     # -------- evaluation harnesses ---------------------------------------

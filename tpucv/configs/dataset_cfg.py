@@ -1,10 +1,15 @@
 """Dataset configs — parity with reference ``configs/dataset_cfg.py:3-117``
 (VOC_CFG: root + 20 classes; COCO_CFG: root + 80 classes)."""
 
+# ORDER MATTERS and must equal the reference's VOC_CFG["classes"]
+# (configs/dataset_cfg.py:7-28 — the classic YOLO-VOC ordering, NOT
+# alphabetical): class ids live in checkpoints, so a different order would
+# mislabel every prediction when weights cross frameworks (found round 3 by
+# the trained-weights published-mAP parity test).
 VOC_CLASSES = [
-    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
-    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
-    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+    "person", "bird", "cat", "cow", "dog", "horse", "sheep", "aeroplane",
+    "bicycle", "boat", "bus", "car", "motorbike", "train", "bottle",
+    "chair", "diningtable", "pottedplant", "sofa", "tvmonitor",
 ]
 
 COCO_CLASSES = [

@@ -63,18 +63,25 @@ def letter_box(
 
 def reverse_letter_box(
     boxes: np.ndarray, scale, pad: Tuple[int, int],
-    orig_shape: Tuple[int, int],
+    orig_shape: Tuple[int, int], clip: bool = True,
 ) -> np.ndarray:
     """Map xyxy boxes from letterboxed-input pixels back to original-image
     pixels (reference image_process.py:69-129). ``scale`` is a scalar or an
     (sx, sy) pair — per-axis when a host pre-shrink applied slightly
-    different effective ratios per axis (int truncation)."""
+    different effective ratios per axis (int truncation).
+
+    ``clip=False`` reproduces the reference exactly: its reverse mapping
+    never clips to the image (image_process.py:69-97), so boxes can extend
+    past the borders and score LOWER IoU against in-image GT. The eval
+    harnesses pass clip=False so published numbers follow the reference
+    protocol; predict/visualize keep the (strictly saner) clipped boxes."""
     px, py = pad
     sx, sy = scale if isinstance(scale, (tuple, list)) else (scale, scale)
     out = boxes.astype(np.float32).copy()
     out[..., [0, 2]] = (out[..., [0, 2]] - px) / sx
     out[..., [1, 3]] = (out[..., [1, 3]] - py) / sy
-    h, w = orig_shape
-    out[..., [0, 2]] = out[..., [0, 2]].clip(0, w)
-    out[..., [1, 3]] = out[..., [1, 3]].clip(0, h)
+    if clip:
+        h, w = orig_shape
+        out[..., [0, 2]] = out[..., [0, 2]].clip(0, w)
+        out[..., [1, 3]] = out[..., [1, 3]].clip(0, h)
     return out
