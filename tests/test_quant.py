@@ -307,6 +307,34 @@ def test_quantize_bnconv_and_centernet_blocks_close():
         assert np.abs(out - out2).max() > 0
 
 
+def test_quantize_biased_conv_without_bn():
+    """conv_biased (SSD conv6/conv7, CenterNet head necks): no BN to fold;
+    the conv bias passes straight into the dequant epilogue."""
+    from flax import linen as nn
+
+    from tpucv.quant import conv_biased
+
+    class Plain(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            return conv_biased(self, x, features=8, kernel=3, padding=1,
+                               conv="c6", dtype=jnp.float32, train=train)
+
+    rng = np.random.default_rng(13)
+    m = Plain()
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 8)).astype(np.float32))
+    v = jax.device_get(m.init(jax.random.PRNGKey(0), x))
+    v["params"]["c6"]["kernel"] = rng.normal(
+        0, 0.3, (3, 3, 8, 8)).astype(np.float32)
+    v["params"]["c6"]["bias"] = rng.normal(0, 1, 8).astype(np.float32)
+    qv = quant.quantize_for_inference(m, v, [x])
+    assert quant.count_quantized(qv["quant"]) == 1
+    ref = np.asarray(m.apply(v, x), np.float32)
+    out = np.asarray(m.apply(qv, x), np.float32)
+    rel = np.abs(ref - out).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
 def test_quantize_folds_conv_bias():
     """SSD's VGG convs carry a bias AND BN; the fold must include it:
     bias_total = beta + (conv_bias - mean) * gamma/sqrt(var+eps)."""
@@ -358,7 +386,8 @@ def test_quantize_ssd_and_centernet_models():
     x = jnp.asarray(rng.random((1, 300, 300, 3), np.float32))
     qv = quant.quantize_for_inference(m, v, [x])
     nq = quant.count_quantized(qv["quant"])
-    assert nq == 12, nq      # 13 VGG convs minus the 3-channel stem
+    # 13 VGG convs minus the 3-ch stem, + biased no-BN conv6/conv7
+    assert nq == 14, nq
     for r, o in zip(m.apply(v, x), m.apply(qv, x)):
         r, o = np.asarray(r, np.float32), np.asarray(o, np.float32)
         assert np.abs(r - o).max() / (np.abs(r).max() + 1e-9) < 0.1

@@ -279,10 +279,14 @@ class CenterNet(nn.Module):
         y = DLAUp(DLA34_CHANNELS[2:], dtype=self.dtype, name="dla_up")(
             feats[2:], train)
 
+        from tpucv import quant
+
         def head(name, n_out, bias_init=0.0):
-            h = nn.Conv(self.head_channels, (3, 3), use_bias=True,
-                        padding=((1, 1), (1, 1)), dtype=self.dtype,
-                        param_dtype=jnp.float32, name=f"{name}_0")(y)
+            # the 3x3 neck of each head quantizes (quant.conv_biased, int8
+            # hooks); the final 1x1 regression conv stays float
+            h = quant.conv_biased(
+                self, y, features=self.head_channels, kernel=3, padding=1,
+                conv=f"{name}_0", dtype=self.dtype, train=train)
             h = nn.relu(h)
             return nn.Conv(
                 n_out, (1, 1), use_bias=True,

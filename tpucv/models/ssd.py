@@ -100,12 +100,14 @@ class SSD(nn.Module):
             elif bi < 4:
                 x = max_pool(x)
         x = max_pool(x, k=3, s=1, pad_same=True)      # pool5
-        # dilated conv6 / conv7 — bias + ReLU, no BN (reference :27-32)
-        x = nn.Conv(1024, (3, 3), padding=((6, 6), (6, 6)),
-                    kernel_dilation=(6, 6), use_bias=True, dtype=dt,
-                    param_dtype=jnp.float32, name="conv6")(x)
+        # dilated conv6 / conv7 — bias + ReLU, no BN (reference :27-32);
+        # quant.conv_biased carries the int8 hooks (bias-only dequant)
+        x = quant.conv_biased(self, x, features=1024, kernel=3, padding=6,
+                              dilation=6, conv="conv6", dtype=dt,
+                              train=train)
         x = nn.relu(x)
-        x = conv(x, 1024, 1, 1, 0, "conv7")
+        x = quant.conv_biased(self, x, features=1024, kernel=1,
+                              conv="conv7", dtype=dt, train=train)
         f2 = nn.relu(x)
 
         f1 = L2Normalize(name="l2norm")(f1)

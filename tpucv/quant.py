@@ -135,6 +135,32 @@ def conv_bn(module, x: jax.Array, *, features: int, kernel=1, strides=1,
                         name=bn)(y)
 
 
+def conv_biased(module, x: jax.Array, *, features: int, kernel=1, strides=1,
+                padding=0, dilation=1, conv: str = "conv",
+                dtype=jnp.float32, train: bool = False, **conv_kwargs):
+    """A plain biased conv (no BN) with the int8 PTQ hooks — pre-activation
+    output; the bias quantizes into the dequant epilogue. Used for the
+    reference nets' activation-conv stacks without BN (SSD's dilated
+    conv6/conv7, CenterNet's 3x3 head convs)."""
+    from flax import linen as nn
+
+    k = (kernel, kernel) if isinstance(kernel, int) else tuple(kernel)
+    st = (strides, strides) if isinstance(strides, int) else tuple(strides)
+    pd = ((padding, padding),) * 2 if isinstance(padding, int) \
+        else tuple(padding)
+    dl = (dilation, dilation) if isinstance(dilation, int) \
+        else tuple(dilation)
+    if not train:
+        sow_calibration(module, x, conv=conv, bn=NO_BN)
+        q = quantized_conv(module, x, conv=conv, strides=st, padding=pd,
+                           dilation=dl, out_dtype=dtype)
+        if q is not None:
+            return q
+    return nn.Conv(features, k, strides=st, padding=pd, kernel_dilation=dl,
+                   use_bias=True, dtype=dtype, param_dtype=jnp.float32,
+                   name=conv, **conv_kwargs)(x)
+
+
 # --------------------------------------------------------------------------
 # offline calibration + builder
 # --------------------------------------------------------------------------
@@ -158,22 +184,31 @@ def calibrate(model, variables, batches: Iterable, **apply_kwargs):
     return jax.device_get(stats)
 
 
+NO_BN = "@none"     # sentinel bn name for conv(+bias) pairs without BN
+
+
 def _quantize_convbn(cp, bnp, bnb, absmax: float, min_in_ch: int,
                      bn_eps: float):
     """Fold one conv+BN pair and quantize. ``cp`` = conv params (kernel +
-    optional bias), ``bnp``/``bnb`` = BN params / batch stats. Returns the
-    quant entries (unprefixed), or None if the conv should stay float."""
+    optional bias), ``bnp``/``bnb`` = BN params / batch stats (both empty
+    for a NO_BN pair). Returns the quant entries (unprefixed), or None if
+    the conv should stay float."""
     kernel = np.asarray(cp["kernel"], np.float64)   # (kh,kw,ci/g,co)
     if kernel.shape[2] < min_in_ch or not np.isfinite(absmax) or absmax <= 0:
         return None
-    gamma = np.asarray(bnp["scale"], np.float64)
-    beta = np.asarray(bnp["bias"], np.float64)
-    mean = np.asarray(bnb["mean"], np.float64)
-    var = np.asarray(bnb["var"], np.float64)
-    f = gamma / np.sqrt(var + bn_eps)
-    w = kernel * f                     # fold: conv then BN == conv(w*f)+bias
     cbias = np.asarray(cp["bias"], np.float64) if "bias" in cp else 0.0
-    bias = beta + (cbias - mean) * f
+    if bnp:
+        gamma = np.asarray(bnp["scale"], np.float64)
+        beta = np.asarray(bnp["bias"], np.float64)
+        mean = np.asarray(bnb["mean"], np.float64)
+        var = np.asarray(bnb["var"], np.float64)
+        f = gamma / np.sqrt(var + bn_eps)
+        w = kernel * f                 # fold: conv then BN == conv(w*f)+bias
+        bias = beta + (cbias - mean) * f
+    else:                              # plain biased conv (NO_BN)
+        w = kernel
+        bias = np.broadcast_to(np.asarray(cbias, np.float64),
+                               (kernel.shape[-1],))
     wmax = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0)
     wscale = np.where(wmax > 0, wmax / 127.0, 1.0)
     qkernel = np.clip(np.round(w / wscale), -127, 127).astype(np.int8)
@@ -204,9 +239,13 @@ def build_quant_collection(variables, quant_stats, *, min_in_ch: int = 8):
                 cname, bnname = m.group(1), m.group(2)
                 eps = float(q.get(f"{cname}::{bnname}::eps", 1e-5))
                 cp = p.get(cname) if isinstance(p, dict) else None
-                bnp = p.get(bnname) if isinstance(p, dict) else None
-                bnb = b.get(bnname, {}) if isinstance(b, dict) else {}
-                if not (isinstance(cp, dict) and isinstance(bnp, dict)):
+                if bnname == NO_BN:
+                    bnp, bnb = {}, {}
+                else:
+                    bnp = p.get(bnname) if isinstance(p, dict) else None
+                    bnb = b.get(bnname, {}) if isinstance(b, dict) else {}
+                if not isinstance(cp, dict) or \
+                        (bnname != NO_BN and not isinstance(bnp, dict)):
                     raise KeyError(
                         f"quant pair {cname}::{bnname} sown but params "
                         f"missing at the same scope")
