@@ -249,9 +249,9 @@ def test_full_e2e_published_map_parity(synthetic_voc, tmp_path, monkeypatch):
     cfg.dataset.name = "voc"
     cfg.dataset.num_classes = 20
     cfg.dataset.input_size = S
-    # flood every anchor into NMS like the reference does at eval conf
-    # (max_nms=30000, ultralytics_ops.py:166); 160^2 has 525 anchors
-    cfg.decode.pre_nms_topk = 512
+    # the default pre_nms_topk (4096) exceeds 160^2's 525 anchors and
+    # decode_boxes clamps to A, so every anchor floods into NMS like the
+    # reference's max_nms=30000 (ultralytics_ops.py:166)
     algo = algo_cls(cfg)
     model = algo.build_model()
     variables = algo.init_variables(model)

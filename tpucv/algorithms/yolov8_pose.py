@@ -132,8 +132,11 @@ class YOLOv8Pose(DetectionAlgorithm):
                 pre_x, pre_y = prescales[j]
                 sx = float(scale_b[j]) * pre_x
                 sy = float(scale_b[j]) * pre_y
+                # clip=False: eval protocol maps boxes unclipped, matching
+                # the reference's reverse letterbox (see base.py eval loop)
                 boxes = reverse_letter_box(
-                    boxes_b[j][v], (sx, sy), tuple(pad_b[j]), oshapes[j])
+                    boxes_b[j][v], (sx, sy), tuple(pad_b[j]), oshapes[j],
+                    clip=False)
                 kv = np.asarray(kpts_b[j][v]).copy()
                 kv[..., 0] = (kv[..., 0] - float(pad_b[j][0])) / max(sx, 1e-9)
                 kv[..., 1] = (kv[..., 1] - float(pad_b[j][1])) / max(sy, 1e-9)
