@@ -285,6 +285,34 @@ class DetectionAlgorithm:
                     tuple(pad_b[j]), oshapes[j], clip=False)
                 yield i, boxes, scores_b[j][v], classes_b[j][v]
 
+    # -------- evaluate-CLI contract ---------------------------------------
+    def build_eval_index(self, subset: str = "val"):
+        """Dataset index for the evaluate CLI. Each algorithm owns its
+        dataset-index construction so the CLI never enumerates families
+        (the reference's ``evaluate.py:9-34`` hardcodes one family per
+        branch; tpucv keeps the CLI family-agnostic). Detection families
+        read COCO or VOC per the config's dataset name."""
+        ds = get_dataset_cfg(self.cfg.dataset.name)
+        if self.cfg.dataset.name == "coco":
+            from tpucv.data.coco import COCOIndex
+            return COCOIndex(
+                os.path.join(ds["root"],
+                             f"annotations/instances_{subset}2017.json"),
+                os.path.join(ds["root"], f"{subset}2017"))
+        from tpucv.data.voc import VOCDetectionIndex
+        return VOCDetectionIndex(ds["root"], subset)
+
+    def run_eval(self, variables, index, batch_size: int = 32,
+                 plots: bool = False, **kw):
+        """Family-appropriate eval over a ``build_eval_index`` result."""
+        if self.cfg.dataset.name == "coco":
+            if plots:
+                print("--plots follows the VOC protocol (reference "
+                      "mAP.py:208-300); ignored for COCO eval")
+            return self.evaluate_on_coco(variables, index, batch_size, **kw)
+        return self.evaluate_on_voc(variables, index, batch_size,
+                                    plots=plots, **kw)
+
     # -------- evaluation harnesses ---------------------------------------
     def evaluate_on_coco(self, variables, index, batch_size: int = 32,
                          conf_threshold: float = 0.001,
@@ -336,7 +364,9 @@ class DetectionAlgorithm:
     def evaluate_on_voc(self, variables, index, batch_size: int = 32,
                         conf_threshold: float = 0.001,
                         iou_threshold: float = 0.5,
-                        verbose: bool = True) -> Dict:
+                        verbose: bool = True,
+                        plots: bool = False,
+                        plot_dir: str = "result/plots") -> Dict:
         from tpucv.metrics.voc_map import evaluate_voc_map, print_voc_map
 
         dts, gts = [], []
@@ -362,4 +392,10 @@ class DetectionAlgorithm:
         res = evaluate_voc_map(gts, dts, self.class_names, iou_threshold)
         if verbose:
             print_voc_map(res)
+        if plots:
+            # per-class AP bar chart + PR curves, the reference's eval-time
+            # artifacts (mAP.py:208-300, drawn inside get_map :302-835)
+            from tpucv.metrics.voc_map import save_plots
+            save_plots(res, plot_dir)
+            print(f"AP/PR plots written to {plot_dir}/")
         return res

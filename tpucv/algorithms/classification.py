@@ -100,6 +100,38 @@ class VitClassification:
         return result
 
     # ------------------------------------------------------------ evaluate
+    def build_eval_index(self, subset: str = "val"):
+        """ImageFolder index under $TPUCV_CLS_ROOT (classes pinned to the
+        TRAIN split's listing — what the checkpoint's logits mean; a val
+        tree with the same class count but different names would otherwise
+        silently score images against the wrong logit), synthetic data
+        otherwise (evaluate-CLI contract, see base.build_eval_index)."""
+        import os
+        from tpucv.data.classification_dataset import (ImageFolderIndex,
+                                                       SyntheticClsIndex)
+        root = os.environ.get("TPUCV_CLS_ROOT", "")
+        if root and os.path.isdir(os.path.join(root, subset)):
+            classes = None
+            if os.path.isdir(os.path.join(root, "train")):
+                classes = ImageFolderIndex(root, "train").classes
+            index = ImageFolderIndex(root, subset, classes=classes)
+            if len(index.classes) != self.nc:
+                raise SystemExit(
+                    f"folder tree has {len(index.classes)} classes but the "
+                    f"config (and checkpoint) use {self.nc}; set "
+                    f"n_classes to match the dataset")
+            self.class_names = list(index.classes)
+            return index
+        print(f"TPUCV_CLS_ROOT {root!r} not found — synthetic data")
+        return SyntheticClsIndex(32, self.input_size, self.nc, seed=1)
+
+    def run_eval(self, variables, index, batch_size: int = 64,
+                 plots: bool = False, **kw):
+        if plots:
+            print("--plots follows the VOC protocol; ignored for "
+                  "classification eval")
+        return self.evaluate(variables, index, batch_size, **kw)
+
     def evaluate(self, variables, index, batch_size: int = 64,
                  verbose: bool = True) -> Dict[str, float]:
         """Top-1 / top-5 accuracy over an (image, label) index, batched."""

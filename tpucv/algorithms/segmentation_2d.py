@@ -145,6 +145,33 @@ class DeeplabV3PlusA:
             cv2.imwrite(path, cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
         return {"class_map": cls_map, "overlay": out, "saved": path}
 
+    def build_eval_index(self, subset: str = "val"):
+        """Sample list for the evaluate CLI (and int8 calibration): VOC
+        SegmentationClass pairs when the dataset root exists, synthetic
+        otherwise."""
+        import os
+        from tpucv.configs.dataset_cfg import get_dataset_cfg
+        from tpucv.data.segmentation_dataset import (build_voc_seg_samples,
+                                                     synthetic_seg_samples)
+        ds = get_dataset_cfg(self.cfg.dataset.name)
+        if os.path.isdir(os.path.join(ds["root"], "SegmentationClass")):
+            return build_voc_seg_samples(ds["root"], subset)
+        print(f"dataset root {ds['root']!r} not found — synthetic seg data")
+        return synthetic_seg_samples(8, self.cfg.arch.crop_size, self.nc, 1)
+
+    def run_eval(self, variables, samples, batch_size: int = 32,
+                 plots: bool = False, **kw):
+        if plots:
+            print("--plots follows the VOC detection protocol; ignored "
+                  "for segmentation eval")
+        from tpucv.data.loader import Loader, segmentation_collate
+        from tpucv.data.segmentation_dataset import SegmentationDataset
+        loader = Loader(
+            SegmentationDataset(samples, self.cfg.arch.crop_size,
+                                train=False),
+            batch_size, shuffle=False, collate=segmentation_collate)
+        return self.evaluate_on_voc(variables, loader, **kw)
+
     def evaluate_on_voc(self, variables, loader, **_) -> Dict[str, float]:
         """Batched mIoU eval over a segmentation Loader."""
         infer = self.make_infer_fn()

@@ -142,6 +142,30 @@ class YOLOv8Pose(DetectionAlgorithm):
                 kv[..., 1] = (kv[..., 1] - float(pad_b[j][1])) / max(sy, 1e-9)
                 yield i, boxes, scores_b[j][v], classes_b[j][v], kv
 
+    def build_eval_index(self, subset: str = "val"):
+        """person_keypoints COCO index when present, synthetic pose
+        otherwise (evaluate-CLI contract, see base.build_eval_index)."""
+        import os
+        from tpucv.configs.dataset_cfg import get_dataset_cfg
+        from tpucv.data.pose_dataset import (COCOKeypointIndex,
+                                             SyntheticPoseIndex)
+        ds = get_dataset_cfg(self.cfg.dataset.name)
+        ann = os.path.join(
+            ds["root"], f"annotations/person_keypoints_{subset}2017.json")
+        img_root = os.path.join(ds["root"], f"{subset}2017")
+        if os.path.isfile(ann) and os.path.isdir(img_root):
+            return COCOKeypointIndex(ann, img_root)
+        print(f"person_keypoints not found under {ds['root']!r} — "
+              f"synthetic pose data")
+        return SyntheticPoseIndex(16, self.input_size,
+                                  nk=self.cfg.arch.kpt_shape[0], seed=1)
+
+    def run_eval(self, variables, index, batch_size: int = 32,
+                 plots: bool = False, **kw):
+        if plots:
+            print("--plots follows the VOC protocol; ignored for pose eval")
+        return self.evaluate_on_coco(variables, index, batch_size, **kw)
+
     def evaluate_on_coco(self, variables, index, batch_size: int = 32,
                          conf_threshold: float = 0.001,
                          result_dir: str = "result",
