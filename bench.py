@@ -97,6 +97,180 @@ def bench_train_step():
     return B / dt, dt * 1e3
 
 
+def bench_scale(scale: str):
+    """YOLOv8 at a wider scale (s/m/l): same e2e inference program and
+    train step as the headline, one JSON line. Exists to test the
+    "n-scale widths, not software, set the MFU" thesis (reference scale
+    table: core/models/yolov8/yolo_v8.py:110-132)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpucv import models as M
+    from tpucv.algorithms.base import init_on_cpu
+    from tpucv.decode.yolov8 import decode_boxes
+    from tpucv.losses.yolov8 import yolov8_loss
+    from tpucv.train.state import TrainState, make_train_step
+
+    _enable_compile_cache()
+    get = getattr(M, f"get_yolo8_{scale}")
+    # keep per-step HBM roughly constant as activations widen
+    B_inf = {"n": 128, "s": 64, "m": 32, "l": 32, "x": 16}[scale]
+    B_tr = {"n": 128, "s": 64, "m": 32, "l": 16, "x": 8}[scale]
+    S = 640
+    model = get(dtype=jnp.bfloat16)
+    _log(f"scale {scale}: init")
+    variables = init_on_cpu(model, (1, S, S, 3), jnp.bfloat16)
+
+    from tpucv.ops.preprocess import letterbox_static, normalize_images
+
+    @jax.jit
+    def infer(v, raw_u8):
+        lb, _, _ = letterbox_static(raw_u8, S)
+        x = normalize_images(lb, jnp.bfloat16)
+        raw = model.apply(v, x)
+        boxes, scores, classes, valid = decode_boxes(
+            raw, conf_threshold=0.25, iou_threshold=0.7, max_det=300,
+            pre_nms_topk=512)
+        return boxes.sum() + scores.sum() + valid.sum()
+
+    rng = np.random.default_rng(0)
+    dev = [jax.device_put(rng.integers(0, 255, (B_inf, 480, 640, 3),
+                                       dtype=np.uint8)) for _ in range(2)]
+    _log(f"scale {scale}: compiling infer")
+    float(infer(variables, dev[0]))
+    n = 20
+    t0 = time.perf_counter()
+    outs = [infer(variables, dev[i % 2]) for i in range(n)]
+    float(outs[-1])
+    ips = B_inf * n / (time.perf_counter() - t0)
+    _log(f"scale {scale}: infer done; train")
+
+    def loss_fn(raw, batch):
+        return yolov8_loss(
+            raw, batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"],
+            nc=80, strides=(8, 16, 32))
+
+    tx = optax.adam(1e-3)
+    state = TrainState.create(
+        variables["params"], variables["batch_stats"], tx, use_ema=True)
+    train_step = make_train_step(model.apply, loss_fn, tx, ema_decay=0.9999)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    Mx = 32
+    batch = {
+        "images": jax.random.uniform(k1, (B_tr, S, S, 3), jnp.bfloat16),
+        "gt_labels": jax.random.randint(k2, (B_tr, Mx), 0, 80, jnp.int32),
+        "gt_bboxes": jax.random.uniform(k3, (B_tr, Mx, 4), jnp.float32) * 300,
+        "gt_mask": jnp.ones((B_tr, Mx), bool),
+    }
+    state = jax.device_put(state)
+    _log(f"scale {scale}: compiling train step")
+    state, m = train_step(state, batch)
+    float(m["loss"])
+    n = 15
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, m = train_step(state, batch)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": f"yolov8{scale}_640_e2e_images_per_sec_per_chip",
+        "value": round(ips, 2), "unit": "img/s",
+        "infer_batch": B_inf,
+        "train_img_per_sec": round(B_tr / dt, 2),
+        "train_step_ms": round(dt * 1e3, 2), "train_batch": B_tr,
+    }))
+
+
+def bench_family(name: str):
+    """Per-family throughput (VERDICT r3 weak #7): the registered
+    algorithm's own uint8 infer program + its own jitted train step, one
+    JSON line per family. Detection families share the
+    images/gt_bboxes/gt_labels/gt_mask batch contract; deeplab trains on
+    dense label maps."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpucv.builder import export_from_registry
+    from tpucv.train.state import TrainState, make_train_step
+
+    _enable_compile_cache()
+    cfg, algo_cls, _ = export_from_registry(name)
+    cfg.train.mixed_precision = True
+    algo = algo_cls(cfg)
+    model = algo.build_model()
+    _log(f"{name}: init")
+    variables = algo.init_variables(model)
+    seg = name == "deeplabv3plus"
+    S = cfg.arch.crop_size if seg else cfg.dataset.input_size
+    B_inf = {"ssd": 64, "centernet": 64, "yolo7": 32,
+             "deeplabv3plus": 32}.get(name, 32)
+    B_tr = {"ssd": 64, "centernet": 32, "yolo7": 32,
+            "deeplabv3plus": 16}.get(name, 16)
+
+    infer = algo.make_infer_fn(model)
+    rng = np.random.default_rng(0)
+    dev = [jax.device_put(rng.integers(0, 255, (B_inf, S, S, 3),
+                                       dtype=np.uint8)) for _ in range(2)]
+
+    def fence(out):
+        # infer returns a pytree; fetch one scalar of the last leaf
+        leaf = jax.tree_util.tree_leaves(out)[-1]
+        float(jnp.ravel(leaf)[0])
+
+    _log(f"{name}: compiling infer")
+    fence(infer(variables, dev[0]))
+    n = 20
+    t0 = time.perf_counter()
+    outs = [infer(variables, dev[i % 2]) for i in range(n)]
+    fence(outs[-1])
+    ips = B_inf * n / (time.perf_counter() - t0)
+    _log(f"{name}: infer done; train")
+
+    loss_fn = algo.build_loss()
+    tx = optax.adam(1e-3)
+    bs = dict(variables).get("batch_stats")
+    state = TrainState.create(variables["params"], bs, tx, use_ema=True)
+    train_step = make_train_step(model.apply, loss_fn, tx, ema_decay=0.9999)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    if seg:
+        batch = {
+            "images": jax.random.uniform(k1, (B_tr, S, S, 3), jnp.bfloat16),
+            "labels": jax.random.randint(
+                k2, (B_tr, S, S), 0, cfg.num_classes, jnp.int32),
+        }
+    else:
+        Mx = 32
+        batch = {
+            "images": jax.random.uniform(k1, (B_tr, S, S, 3), jnp.bfloat16),
+            "gt_labels": jax.random.randint(
+                k2, (B_tr, Mx), 0, cfg.num_classes, jnp.int32),
+            "gt_bboxes": jax.random.uniform(
+                k3, (B_tr, Mx, 4), jnp.float32) * (S * 0.45),
+            "gt_mask": jnp.ones((B_tr, Mx), bool),
+        }
+    state = jax.device_put(state)
+    _log(f"{name}: compiling train step")
+    state, m = train_step(state, batch)
+    float(m["loss"])
+    n = 15
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, m = train_step(state, batch)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": f"{name}_{S}_e2e_images_per_sec_per_chip",
+        "value": round(ips, 2), "unit": "img/s",
+        "infer_batch": B_inf,
+        "train_img_per_sec": round(B_tr / dt, 2),
+        "train_step_ms": round(dt * 1e3, 2), "train_batch": B_tr,
+    }))
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache: through the relay a cold compile
     of the two jitted programs costs minutes of wall clock; warmed runs
@@ -225,4 +399,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--scale", choices=["s", "m", "l", "x"], default=None,
+                   help="YOLOv8 scale variant instead of the n headline")
+    p.add_argument("--model", default=None,
+                   choices=["ssd", "centernet", "yolo7", "deeplabv3plus"],
+                   help="per-family bench instead of the YOLOv8 headline")
+    a = p.parse_args()
+    if a.scale:
+        bench_scale(a.scale)
+    elif a.model:
+        bench_family(a.model)
+    else:
+        main()   # the driver's headline invocation — unchanged contract

@@ -28,9 +28,10 @@ MXU = 128
 
 def main():
     import flax.linen as nn
-    from tpucv.models import get_yolo8_n
+    from tpucv import models as M
 
-    model = get_yolo8_n(dtype=jnp.bfloat16)
+    scale = sys.argv[1] if len(sys.argv) > 1 else "n"
+    model = getattr(M, f"get_yolo8_{scale}")(dtype=jnp.bfloat16)
     records = []
     orig = nn.Conv.__call__
 
