@@ -6,19 +6,22 @@ from __future__ import annotations
 
 import numpy as np
 
+from tpucv.algorithms.base import DetectionAlgorithm
 from tpucv.configs.model_cfgs import Yolo3Config
 from tpucv.trainer.base import BaseTrainer
 from tpucv.trainer.data_helpers import build_detection_loaders
 
 
-class Yolo3Algorithm:
-    """Minimal algorithm facade for the legacy path."""
+class Yolo3Algorithm(DetectionAlgorithm):
+    """Algorithm facade for the legacy path. Subclassing the shared base
+    gives it the batched eval harnesses (evaluate_on_voc/evaluate_on_coco)
+    and predict — the reference evaluates this path through
+    ``evaluate_pipeline`` (core/metrics/eval.py:14-133); tpucv routes it
+    through the standard device-resident harness instead."""
 
     def __init__(self, cfg: Yolo3Config):
-        import jax.numpy as jnp
-        self.cfg = cfg
+        super().__init__(cfg)
         self.nc = cfg.num_classes
-        self.dtype = jnp.bfloat16 if cfg.train.mixed_precision else jnp.float32
         self.anchors = np.asarray(cfg.arch.anchors, np.float32)
         self.anchor_mask = cfg.arch.anchor_mask
         self.strides = cfg.arch.strides
@@ -26,11 +29,6 @@ class Yolo3Algorithm:
     def build_model(self):
         from tpucv.models.yolov3 import YoloV3
         return YoloV3(nc=self.nc, dtype=self.dtype)
-
-    def init_variables(self, model=None, seed: int = 0):
-        from tpucv.algorithms.base import init_on_cpu
-        model = model or self.build_model()
-        return init_on_cpu(model, (1, 128, 128, 3), self.dtype, seed)
 
     def build_loss(self):
         from tpucv.losses.yolov3 import yolov3_loss
