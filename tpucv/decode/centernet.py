@@ -45,8 +45,10 @@ def decode_centernet(
     flat_pos = pos                                        # (B, K) in H*W
     wh_flat = wh.reshape(B, -1, 2)
     reg_flat = reg.reshape(B, -1, 2)
-    wh_k = jnp.take_along_axis(wh_flat, flat_pos[..., None].repeat(2, -1), 1)
-    reg_k = jnp.take_along_axis(reg_flat, flat_pos[..., None].repeat(2, -1), 1)
+    # broadcast (B, K, 1) index — a repeated index tensor lowers the gather
+    # to scalar granularity on TPU (scripts/probe_gather.py)
+    wh_k = jnp.take_along_axis(wh_flat, flat_pos[..., None], 1)
+    reg_k = jnp.take_along_axis(reg_flat, flat_pos[..., None], 1)
 
     cx = (xs + reg_k[..., 0]) * downsample
     cy = (ys + reg_k[..., 1]) * downsample

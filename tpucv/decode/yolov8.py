@@ -95,7 +95,7 @@ def decode_boxes(
     # lives in ONE place; top_k already returned scores descending
     from tpucv.ops.nms import dispatch_batched_nms
     idx, valid = dispatch_batched_nms(off, top_scores, iou_threshold, max_det)
-    out_boxes = jnp.take_along_axis(boxes, idx[..., None].repeat(4, -1), 1)
+    out_boxes = jnp.take_along_axis(boxes, idx[..., None], 1)
     out_scores = jnp.where(valid, jnp.take_along_axis(top_scores, idx, 1), 0.0)
     out_cls = jnp.take_along_axis(top_cls, idx, 1)
     valid = valid & (out_scores > conf_threshold)

@@ -42,8 +42,10 @@ def masked_l1(pred_map: jax.Array, target: jax.Array, ind: jax.Array,
     channels before ``mask.sum()``)."""
     B, H, W, C = pred_map.shape
     flat = pred_map.reshape(B, H * W, C).astype(jnp.float32)
+    # broadcast (B, M, 1) index — a repeated index tensor lowers the gather
+    # to scalar granularity on TPU (scripts/probe_gather.py)
     picked = jnp.take_along_axis(
-        flat, jnp.repeat(ind[..., None], C, axis=-1).astype(jnp.int32), axis=1)
+        flat, ind[..., None].astype(jnp.int32), axis=1)
     l1 = jnp.abs(picked - target).sum(-1)
     n = mask.astype(jnp.float32).sum() * C + 1e-4
     return jnp.where(mask, l1, 0.0).sum() / n

@@ -125,14 +125,18 @@ def yolov7_loss(
     K = cand_flat.shape[-1]
 
     # ---------------- cost matrix over candidates --------------------------
+    # broadcast (B, M*K, 1) index: XLA row-gathers the full channel vector.
+    # A fully-materialised repeated index tensor makes the gather
+    # scalar-granular and serial on TPU — 34.7 vs 2.2 ms at this shape
+    # (scripts/probe_gather.py).
     cand_boxes = jnp.take_along_axis(
-        pred_boxes, cand_flat[..., None].reshape(B, M * K, 1).repeat(4, -1),
+        pred_boxes, cand_flat.reshape(B, M * K)[..., None],
         axis=1).reshape(B, M, K, 4)
     iou = bbox_iou(gt_bboxes[:, :, None, :], cand_boxes, xywh=False,
                    ciou=False)
     iou = jnp.clip(iou, 0.0, 1.0)
     cand_preds = jnp.take_along_axis(
-        preds, cand_flat.reshape(B, M * K, 1).repeat(5 + nc, -1),
+        preds, cand_flat.reshape(B, M * K)[..., None],
         axis=1).reshape(B, M, K, 5 + nc)
     p_obj = jax.nn.sigmoid(cand_preds[..., 4:5].astype(jnp.float32))
     p_cls = jax.nn.sigmoid(cand_preds[..., 5:].astype(jnp.float32)) * p_obj

@@ -272,8 +272,7 @@ def batched_single_label_nms(
     idx, valid = dispatch_batched_nms(off_boxes, top_scores, iou_threshold,
                                       max_det, use_pallas=use_pallas)
 
-    out_boxes = jnp.take_along_axis(
-        top_boxes, idx[..., None].repeat(4, -1), axis=1)
+    out_boxes = jnp.take_along_axis(top_boxes, idx[..., None], axis=1)
     out_scores = jnp.where(valid, jnp.take_along_axis(top_scores, idx, 1), 0.0)
     out_cls = jnp.take_along_axis(top_cls, idx, axis=1)
     valid = valid & (out_scores > conf_threshold)
