@@ -39,8 +39,11 @@ def timed(fn, args, n=30, fence=None):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--scale", default="n", choices=list("nsmlx"))
     args = ap.parse_args()
+    if args.batch is None:
+        args.batch = {"n": 128, "s": 64, "m": 32, "l": 16, "x": 8}[args.scale]
 
     import jax
     import jax.numpy as jnp
@@ -54,12 +57,14 @@ def main():
     from tpucv.algorithms.base import init_on_cpu
     from tpucv.losses.yolov8 import yolov8_loss
     from tpucv.losses.tal import task_aligned_assigner
-    from tpucv.models import get_yolo8_n
     from tpucv.ops.anchors import make_anchors
     from tpucv.train.state import TrainState, make_train_step
 
+    import tpucv.models as _M
+
     B, S, M = args.batch, 640, 32
-    model = get_yolo8_n(dtype=jnp.bfloat16)
+    model = getattr(_M, f"get_yolo8_{args.scale}")(dtype=jnp.bfloat16)
+    print(f"scale={args.scale}", flush=True)
     variables = init_on_cpu(model, (1, S, S, 3), jnp.bfloat16)
     rng = np.random.default_rng(0)
     images = jax.device_put(
