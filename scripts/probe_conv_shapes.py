@@ -25,7 +25,6 @@ import os
 import sys
 import time
 
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -41,12 +40,17 @@ SHAPES = [
 
 
 def timed(fn, args, n=30):
+    # each fn returns a f32 SCALAR; float() is the fence. Through the
+    # axon relay block_until_ready is unreliable and np.asarray of a big
+    # output costs ~1s/100MB of D2H — a jit-internal sum + scalar pull is
+    # the one pattern that measures the in-order device stream correctly
+    # (same as bench.py / roofline.py).
     out = fn(*args)
-    np.asarray(out).ravel()[:1]
+    float(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    np.asarray(out).ravel()[:1]
+    float(out)
     return (time.perf_counter() - t0) / n * 1e3
 
 
@@ -64,54 +68,62 @@ def main():
 
     print(f"{'shape':24s} {'prog':13s} {'ms':>8s} {'TF/s':>7s}", flush=True)
     for tag, B, S, Ci, Co in SHAPES:
-        rng = np.random.default_rng(0)
-        x = jax.device_put(rng.standard_normal(
-            (B, S, S, Ci), np.float32)).astype(jnp.bfloat16)
-        w = jax.device_put(rng.standard_normal(
-            (3, 3, Ci, Co), np.float32).astype(np.float32) * 0.05
-        ).astype(jnp.bfloat16)
-        dy = jax.device_put(rng.standard_normal(
-            (B, S, S, Co), np.float32)).astype(jnp.bfloat16)
+        # generate on-device: host->device of GB-sized arrays is pathological
+        # through the axon relay tunnel
+        key = jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        x = jax.random.normal(k1, (B, S, S, Ci), jnp.bfloat16)
+        w = jax.random.normal(k2, (3, 3, Ci, Co), jnp.bfloat16) * 0.05
+        dy = jax.random.normal(k3, (B, S, S, Co), jnp.bfloat16)
+        jax.block_until_ready((x, w, dy))
         tf = 2 * B * S * S * 9 * Ci * Co / 1e12
 
         def conv(xx, ww):
+            # plain bf16, as flax nn.Conv(dtype=bf16) runs in production
+            # (MXU accumulates bf16 matmuls in f32 internally regardless)
             return lax.conv_general_dilated(
-                xx, ww, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                xx, ww, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)
 
-        progs = {}
-        progs["fwd"] = jax.jit(conv)
+        def s(t):
+            return jnp.sum(t, dtype=jnp.float32)
+
+        def fwd(xx, ww):
+            return s(conv(xx, ww))
 
         def dgrad(xx, ww, gy):
-            return jax.vjp(lambda a: conv(a, ww), xx)[1](gy)[0]
+            return s(jax.vjp(lambda a: conv(a, ww), xx)[1](gy)[0])
 
         def wgrad(xx, ww, gy):
-            return jax.vjp(lambda a: conv(xx, a), ww)[1](gy)[0]
+            return s(jax.vjp(lambda a: conv(xx, a), ww)[1](gy)[0])
 
         def wgrad_asconv(xx, gy):
             # out[ci,kh,kw,co] = sum_{b,h,w} x[b,h+kh-1,w+kw-1,ci]*dy[b,h,w,co]
-            return lax.conv_general_dilated(
+            return s(lax.conv_general_dilated(
                 xx, gy, (1, 1), ((1, 1), (1, 1)),
                 dimension_numbers=("CHWN", "IHWO", "NHWC"),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32))
 
         def wgrad_im2col(xx, gy):
             p = lax.conv_general_dilated_patches(
                 xx, (3, 3), (1, 1), ((1, 1), (1, 1)),
                 dimension_numbers=dn)          # (B,S,S, Ci*9)
-            return jnp.einsum("bhwk,bhwc->kc", p, gy,
-                              preferred_element_type=jnp.float32)
+            return s(jnp.einsum("bhwk,bhwc->kc", p, gy,
+                                preferred_element_type=jnp.float32))
 
-        a2 = jax.device_put(rng.standard_normal(
-            (B * S * S, 9 * Ci), np.float32)).astype(jnp.bfloat16)
-        b2 = jax.device_put(rng.standard_normal(
-            (9 * Ci, Co), np.float32)).astype(jnp.bfloat16)
+        a2 = jax.random.normal(k1, (B * S * S, 9 * Ci), jnp.bfloat16)
+        b2 = jax.random.normal(k2, (9 * Ci, Co), jnp.bfloat16)
 
         def gemm(aa, bb):
-            return jnp.matmul(aa, bb, preferred_element_type=jnp.float32)
+            return s(jnp.matmul(aa, bb, preferred_element_type=jnp.float32))
+
+        def readsum(xx):
+            # pure HBM read of x: calibrates the fence-sum overhead and
+            # gives the measured read bandwidth reference for this shape
+            return s(xx)
 
         runs = [
-            ("fwd", jax.jit(conv), (x, w)),
+            ("readsum", jax.jit(readsum), (x,)),
+            ("fwd", jax.jit(fwd), (x, w)),
             ("dgrad", jax.jit(dgrad), (x, w, dy)),
             ("wgrad", jax.jit(wgrad), (x, w, dy)),
             ("wgrad_asconv", jax.jit(wgrad_asconv), (x, dy)),
