@@ -27,6 +27,24 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def cost_report(tag, jitted, args):
+    """Print XLA's own cost model for a jitted fn plus dual-roofline floors.
+
+    Two floors: the v5e spec sheet (197 TF/s, 819 GB/s) and the chip's
+    MEASURED effective stream bandwidth (~350 GB/s, scripts/probe_pallas_bw.py)
+    — the spec floor is unreachable for bandwidth-bound programs here.
+    """
+    ca = jitted.lower(*args).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    f, b = ca.get("flops", float("nan")), ca.get("bytes accessed", float("nan"))
+    floor_spec = max(f / 197e12, b / 819e9) * 1e3
+    floor_eff = max(f / 197e12, b / 350e9) * 1e3
+    print(f"  [{tag}] XLA cost: {f/1e12:.3f} TF, {b/1e9:.2f} GB"
+          f" -> floor {floor_spec:.1f} ms (spec 819 GB/s)"
+          f" / {floor_eff:.1f} ms (effective ~350 GB/s)", flush=True)
+
+
 def timed(fn, args, n=30, fence=None):
     out = fn(*args)                    # compile + first exec
     (fence or (lambda o: float(np.asarray(o).ravel()[0])))(out)
@@ -87,6 +105,7 @@ def main():
 
     print(f"fwd_eval      {timed(fwd_eval, (variables, images)):8.2f} ms",
           flush=True)
+    cost_report("fwd_eval", fwd_eval, (variables, images))
     print(f"fwd_train     {timed(fwd_train, (variables, images)):8.2f} ms",
           flush=True)
 
@@ -104,6 +123,7 @@ def main():
 
     print(f"fwd_bwd_model {timed(fwd_bwd_model, (variables, images), n=15):8.2f}"
           " ms", flush=True)
+    cost_report("fwd_bwd_model", fwd_bwd_model, (variables, images))
 
     # ---- loss parts on fixed raw maps
     raw_fixed = jax.jit(
@@ -170,6 +190,7 @@ def main():
 
     print(f"full_step     {timed(run_step, (state, batch), n=15):8.2f} ms",
           flush=True)
+    cost_report("full_step", step, (state, batch))
     os._exit(0)
 
 
