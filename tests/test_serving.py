@@ -1,0 +1,189 @@
+"""Serving layer (tpucv/serving.py + serve.py).
+
+Fast tests drive the HTTP + micro-batching machinery with a stub
+algorithm (no model compile); the slow test runs the real yolo8_det
+program end-to-end over HTTP. The reference has no serving surface (its
+deploy modules are empty files), so there is no parity target — these
+lock tpucv's own contract."""
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tpucv.serving import MicroBatcher, decode_image_bytes, make_server
+
+
+def _jpeg_bytes(h=48, w=64, seed=0):
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (h, w, 3), np.uint8)
+    ok, buf = cv2.imencode(".jpg", img)
+    assert ok
+    return buf.tobytes()
+
+
+class _StubAlgo:
+    """Duck-typed DetectionAlgorithm: one fixed box per image, whose score
+    encodes the image's mean so callers can check routing."""
+
+    class_names = ["a", "b", "c"]
+    input_size = 64
+
+    def __init__(self, fail=False, delay_s=0.0):
+        self.fail = fail
+        self.delay_s = delay_s
+        self.batch_calls = []
+
+    def _batched_detections(self, variables, index, batch_size, conf):
+        if self.fail:
+            raise RuntimeError("boom")
+        if self.delay_s:
+            time.sleep(self.delay_s)
+        self.batch_calls.append(len(index))
+        for i, (img,) in enumerate(index):
+            boxes = np.array([[1.0, 2.0, 3.0, 4.0]], np.float32)
+            scores = np.array([float(img.mean()) / 255.0], np.float32)
+            classes = np.array([i % 3], np.int32)
+            yield i, boxes, scores, classes
+
+
+# ---------------------------------------------------------------- units --
+
+def test_decode_image_bytes_roundtrip():
+    img = decode_image_bytes(_jpeg_bytes())
+    assert img is not None and img.shape == (48, 64, 3)
+    assert img.dtype == np.uint8
+    assert decode_image_bytes(b"") is None
+    assert decode_image_bytes(b"not an image") is None
+
+
+def test_batcher_coalesces_concurrent_requests():
+    algo = _StubAlgo(delay_s=0.02)
+    b = MicroBatcher(algo, {}, batch_size=4, max_wait_ms=200,
+                     conf_threshold=0.5)
+    b.start()
+    try:
+        results = [None] * 6
+
+        def post(k):
+            results[k] = b.submit(np.full((8, 8, 3), 10 * k, np.uint8))
+
+        threads = [threading.Thread(target=post, args=(k,))
+                   for k in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=10)
+        assert all(r is not None and "detections" in r for r in results)
+        # each request got ITS OWN image's detections back
+        for k, r in enumerate(results):
+            assert r["detections"][0]["score"] == pytest.approx(
+                10 * k / 255.0, abs=1e-6)
+        snap = b.snapshot()
+        assert snap["requests"] == 6
+        # batch_size=4 caps groups, so 6 requests need >= 2 batches; the
+        # 200 ms window + the stub's 20 ms device time makes actual
+        # coalescing overwhelmingly likely but we only assert the cap
+        assert 2 <= snap["batches"] <= 6
+        assert max(algo.batch_calls) <= 4
+    finally:
+        b.stop()
+
+
+def test_batcher_propagates_device_errors():
+    b = MicroBatcher(_StubAlgo(fail=True), {}, batch_size=2, max_wait_ms=1)
+    b.start()
+    try:
+        out = b.submit(np.zeros((8, 8, 3), np.uint8))
+        assert out["_status"] == 500 and "boom" in out["error"]
+    finally:
+        b.stop()
+
+
+# ----------------------------------------------------------- http server --
+
+def _start(server):
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return t
+
+
+def _url(server, path):
+    host, port = server.server_address[:2]
+    return f"http://{host}:{port}{path}"
+
+
+def test_http_contract_with_stub_algo():
+    server = make_server(_StubAlgo(), {}, port=0, batch_size=4,
+                         max_wait_ms=5, conf_threshold=0.5, warmup=False,
+                         model_name="stub")
+    _start(server)
+    try:
+        health = json.load(urllib.request.urlopen(_url(server, "/healthz")))
+        assert health["status"] == "ok" and health["model"] == "stub"
+
+        req = urllib.request.Request(
+            _url(server, "/predict"), data=_jpeg_bytes(),
+            headers={"Content-Type": "image/jpeg"})
+        resp = json.load(urllib.request.urlopen(req))
+        assert len(resp["detections"]) == 1
+        det = resp["detections"][0]
+        assert det["box"] == [1.0, 2.0, 3.0, 4.0]
+        assert det["label"] in ("a", "b", "c")
+        assert resp["latency_ms"] >= 0
+
+        stats = json.load(urllib.request.urlopen(_url(server, "/stats")))
+        assert stats["requests"] == 1 and stats["batches"] == 1
+
+        # undecodable body -> 400, bad route -> 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(urllib.request.Request(
+                _url(server, "/predict"), data=b"junk"))
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(_url(server, "/nope"))
+        assert e.value.code == 404
+    finally:
+        server.batcher.stop()
+        server.shutdown()
+        server.server_close()
+
+
+# ------------------------------------------------------------- e2e (slow) --
+
+@pytest.mark.slow  # full yolo8 compile
+def test_serve_real_model_end_to_end():
+    from tpucv.builder import export_from_registry
+
+    cfg, algo_cls, _ = export_from_registry("yolo8_det")
+    cfg.dataset.input_size = 64          # tiny CPU compile
+    cfg.decode.pre_nms_topk = 64
+    cfg.decode.max_det = 10
+    cfg.train.mixed_precision = False
+    algo = algo_cls(cfg)
+    variables = algo.init_variables()
+    server = make_server(algo, variables, port=0, batch_size=2,
+                         max_wait_ms=5, conf_threshold=0.01,
+                         model_name="yolo8_det")
+    _start(server)
+    try:
+        req = urllib.request.Request(
+            _url(server, "/predict"), data=_jpeg_bytes(h=96, w=128),
+            headers={"Content-Type": "image/jpeg"})
+        resp = json.load(urllib.request.urlopen(req, timeout=120))
+        assert "detections" in resp
+        for det in resp["detections"]:
+            x1, y1, x2, y2 = det["box"]
+            assert x1 <= x2 and y1 <= y2
+            assert 0.0 <= det["score"] <= 1.0
+            assert det["label"] in algo.class_names
+    finally:
+        server.batcher.stop()
+        server.shutdown()
+        server.server_close()
