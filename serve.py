@@ -47,6 +47,11 @@ def main():
                         help="max time the batcher waits to fill a batch")
     parser.add_argument("--conf", type=float, default=None,
                         help="confidence threshold (default: model config)")
+    parser.add_argument("--request-timeout-s", type=float, default=60.0,
+                        help="per-request inference timeout (503 after)")
+    parser.add_argument("--max-queue", type=int, default=None,
+                        help="queue depth beyond which requests fast-fail "
+                             "503 (default: 8x batch)")
     parser.add_argument("--int8", action="store_true",
                         help="serve the int8 PTQ variant (needs --calib)")
     parser.add_argument("--calib", type=str, default="",
@@ -75,7 +80,9 @@ def main():
     server = make_server(algo, variables, host=args.host, port=args.port,
                          batch_size=args.batch,
                          max_wait_ms=args.max_wait_ms, conf_threshold=conf,
-                         model_name=args.model)
+                         model_name=args.model,
+                         request_timeout_s=args.request_timeout_s,
+                         max_queue=args.max_queue)
     print(f"serving {args.model} on http://{args.host}:{args.port} "
           f"(POST /predict, GET /healthz, GET /stats)", flush=True)
     try:

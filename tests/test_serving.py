@@ -102,6 +102,70 @@ def test_batcher_propagates_device_errors():
     try:
         out = b.submit(np.zeros((8, 8, 3), np.uint8))
         assert out["_status"] == 500 and "boom" in out["error"]
+        # a failed slot is an error exactly once, not once per group member
+        assert b.snapshot()["errors"] == 1
+    finally:
+        b.stop()
+
+
+def test_submit_after_stop_returns_503_not_restart():
+    b = MicroBatcher(_StubAlgo(), {}, batch_size=2, max_wait_ms=1)
+    b.start()
+    b.stop()
+    out = b.submit(np.zeros((8, 8, 3), np.uint8))
+    assert out["_status"] == 503 and "shutting down" in out["error"]
+    # explicit restart with a fresh worker thread still works
+    b.start()
+    try:
+        out = b.submit(np.zeros((8, 8, 3), np.uint8))
+        assert "detections" in out
+    finally:
+        b.stop()
+
+
+def test_timed_out_request_counted_once():
+    algo = _StubAlgo(delay_s=0.25)
+    b = MicroBatcher(algo, {}, batch_size=1, max_wait_ms=1,
+                     request_timeout_s=0.05)
+    b.start()
+    try:
+        out = b.submit(np.zeros((8, 8, 3), np.uint8))
+        assert out["_status"] == 503 and "timed out" in out["error"]
+        time.sleep(0.5)   # let the worker finish the abandoned slot
+        snap = b.snapshot()
+        # the dead slot is skipped by the worker: one error, zero requests
+        assert snap["errors"] == 1
+        assert snap["requests"] == 0
+    finally:
+        b.stop()
+
+
+def test_backpressure_rejects_when_queue_full():
+    algo = _StubAlgo(delay_s=0.2)
+    b = MicroBatcher(algo, {}, batch_size=1, max_wait_ms=1,
+                     request_timeout_s=5.0, max_queue=1)
+    b.start()
+    try:
+        results = []
+        lock = threading.Lock()
+
+        def post():
+            out = b.submit(np.zeros((8, 8, 3), np.uint8))
+            with lock:
+                results.append(out)
+
+        # 6 concurrent submitters vs a 0.2 s/item worker and max_queue=1:
+        # at most ~2 can be in flight/queued, the rest must fast-fail 503
+        threads = [threading.Thread(target=post) for _ in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=10)
+        rejected = [r for r in results
+                    if r.get("_status") == 503 and "overloaded" in r["error"]]
+        served = [r for r in results if "detections" in r]
+        assert rejected and served
+        assert b.snapshot()["rejected"] == len(rejected)
     finally:
         b.stop()
 
@@ -149,6 +213,40 @@ def test_http_contract_with_stub_algo():
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(_url(server, "/nope"))
         assert e.value.code == 404
+    finally:
+        server.batcher.stop()
+        server.shutdown()
+        server.server_close()
+
+
+def test_keepalive_survives_error_responses_with_bodies():
+    """A 404 POST with a body must not desync a persistent connection:
+    the unread body would otherwise be parsed as the next request."""
+    import http.client
+
+    server = make_server(_StubAlgo(), {}, port=0, batch_size=2,
+                         max_wait_ms=5, warmup=False, model_name="stub")
+    _start(server)
+    try:
+        host, port = server.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout=10)
+        # POST with a body to an unknown route -> 404, body drained
+        conn.request("POST", "/nope", body=b"x" * 4096)
+        resp = conn.getresponse()
+        assert resp.status == 404
+        resp.read()
+        # same socket: the next request must parse cleanly
+        conn.request("GET", "/healthz")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert json.loads(resp.read())["status"] == "ok"
+        # chunked POST -> clean 411 + connection close, not a hang
+        conn.request("POST", "/predict", body=iter([b"abc"]),
+                     headers={"Transfer-Encoding": "chunked"})
+        resp = conn.getresponse()
+        assert resp.status == 411
+        resp.read()
+        conn.close()
     finally:
         server.batcher.stop()
         server.shutdown()

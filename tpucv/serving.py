@@ -81,21 +81,26 @@ class MicroBatcher:
 
     def __init__(self, algo, variables, batch_size: int = 8,
                  max_wait_ms: float = 10.0, conf_threshold: float = 0.25,
-                 request_timeout_s: float = 60.0):
+                 request_timeout_s: float = 60.0,
+                 max_queue: Optional[int] = None):
         self.algo = algo
         self.variables = variables
         self.batch_size = int(batch_size)
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self.conf_threshold = float(conf_threshold)
         self.request_timeout_s = float(request_timeout_s)
+        # Backpressure: beyond this queue depth, submit() fast-fails with
+        # 503 instead of piling up blocked handler threads for a minute.
+        self.max_queue = int(max_queue) if max_queue else \
+            max(32, 8 * self.batch_size)
         self._q: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()
         self._latencies = collections.deque(maxlen=512)  # seconds
         self.stats = {"requests": 0, "batches": 0, "images": 0,
-                      "errors": 0}
-        self._thread = threading.Thread(
-            target=self._run, name="tpucv-batcher", daemon=True)
+                      "errors": 0, "rejected": 0}
+        self._thread: Optional[threading.Thread] = None
         self._started = False
+        self._stopped = False
 
     # -------- lifecycle ----------------------------------------------------
     def warmup(self) -> None:
@@ -108,30 +113,59 @@ class MicroBatcher:
             self.conf_threshold))
 
     def start(self) -> None:
-        if not self._started:
+        """Idempotent; safe to call concurrently. Explicit start() after
+        stop() restarts with a fresh worker thread (Thread objects are
+        single-use); lazy starts from submit() never restart a stopped
+        batcher — those requests get 503 instead."""
+        with self._lock:
+            if self._started:
+                return
+            self._stopped = False
+            self._thread = threading.Thread(
+                target=self._run, name="tpucv-batcher", daemon=True)
             self._started = True
             self._thread.start()
 
     def stop(self) -> None:
-        if self._started:
+        with self._lock:
+            self._stopped = True
+            started, self._started = self._started, False
+            thread = self._thread
+        if started:
             self._q.put(None)
-            self._thread.join(timeout=5)
-            self._started = False
+            thread.join(timeout=5)
 
     # -------- request path ---------------------------------------------
     def submit(self, img: np.ndarray) -> dict:
         """Blocking: enqueue one RGB image, wait for its detections."""
-        if not self._started:
+        with self._lock:
+            if self._stopped:
+                return {"error": "server shutting down", "_status": 503}
+            need_start = not self._started
+        if need_start:
             self.start()
+        if self._q.qsize() >= self.max_queue:
+            with self._lock:
+                self.stats["rejected"] += 1
+            return {"error": "server overloaded, retry later",
+                    "_status": 503}
         slot = {"img": img, "ev": threading.Event(),
                 "t0": time.perf_counter()}
         self._q.put(slot)
         if not slot["ev"].wait(timeout=self.request_timeout_s):
             with self._lock:
-                self.stats["errors"] += 1
-            return {"error": "inference timed out", "_status": 503}
+                if not slot.get("finalized"):
+                    # Abandon the slot: the worker skips dead slots, so a
+                    # timed-out request is counted exactly once (here).
+                    slot["dead"] = True
+                    self.stats["errors"] += 1
+                    return {"error": "inference timed out", "_status": 503}
+            # finalized between the wait timing out and us taking the
+            # lock: the result is valid, fall through and use it
         if "error" in slot:
             return {"error": slot["error"], "_status": 500}
+        if "result" not in slot:
+            return {"error": "no result produced", "_status": 500}
         return slot["result"]
 
     # -------- device worker ----------------------------------------------
@@ -158,6 +192,10 @@ class MicroBatcher:
             if first is None:
                 return
             group = self._collect_group(first)
+            with self._lock:   # drop slots whose submitter already timed out
+                group = [s for s in group if not s.get("dead")]
+            if not group:
+                continue
             index = [(slot["img"],) for slot in group]
             try:
                 for i, boxes, scores, classes in \
@@ -176,15 +214,19 @@ class MicroBatcher:
                     slot["result"] = {"detections": dets}
             except Exception as e:                      # noqa: BLE001
                 for slot in group:
-                    slot["error"] = f"{type(e).__name__}: {e}"
+                    if "result" not in slot:
+                        slot["error"] = f"{type(e).__name__}: {e}"
             now = time.perf_counter()
             with self._lock:
-                self.stats["requests"] += len(group)
                 self.stats["batches"] += 1
-                self.stats["images"] += len(group)
-                if any("error" in s for s in group):
-                    self.stats["errors"] += len(group)
                 for slot in group:
+                    if slot.get("dead"):   # timed out mid-compute; already
+                        continue           # counted as an error in submit()
+                    slot["finalized"] = True
+                    self.stats["requests"] += 1
+                    self.stats["images"] += 1
+                    if "error" in slot or "result" not in slot:
+                        self.stats["errors"] += 1
                     self._latencies.append(now - slot["t0"])
             for slot in group:
                 slot["ev"].set()
@@ -207,12 +249,15 @@ class MicroBatcher:
 def make_server(algo, variables, host: str = "127.0.0.1", port: int = 8080,
                 batch_size: int = 8, max_wait_ms: float = 10.0,
                 conf_threshold: float = 0.25, warmup: bool = True,
-                model_name: str = "") -> ThreadingHTTPServer:
+                model_name: str = "", request_timeout_s: float = 60.0,
+                max_queue: Optional[int] = None) -> ThreadingHTTPServer:
     """Build (but don't run) the HTTP server; ``server.batcher`` is the
     attached :class:`MicroBatcher`. Call ``server.serve_forever()``."""
     batcher = MicroBatcher(algo, variables, batch_size=batch_size,
                            max_wait_ms=max_wait_ms,
-                           conf_threshold=conf_threshold)
+                           conf_threshold=conf_threshold,
+                           request_timeout_s=request_timeout_s,
+                           max_queue=max_queue)
     if warmup:
         batcher.warmup()
     batcher.start()
@@ -226,8 +271,35 @@ def make_server(algo, variables, host: str = "127.0.0.1", port: int = 8080,
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if self.close_connection:
+                # we advertise HTTP/1.1 keep-alive; when the request body
+                # could not be fully consumed, tell the client the
+                # connection dies here instead of desyncing its pipeline
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
+
+        def _drain_body(self) -> None:
+            """Consume any unread request body before an error response.
+
+            With keep-alive, unread body bytes would be parsed as the
+            start of the NEXT request on the same connection. Chunked
+            bodies (which we don't parse) force a connection close.
+            """
+            if self.headers.get("Transfer-Encoding", "").lower():
+                self.close_connection = True
+                return
+            try:
+                remaining = int(self.headers.get("Content-Length", 0) or 0)
+            except ValueError:
+                self.close_connection = True
+                return
+            while remaining > 0:
+                chunk = self.rfile.read(min(remaining, 1 << 16))
+                if not chunk:
+                    self.close_connection = True
+                    return
+                remaining -= len(chunk)
 
         def log_message(self, fmt, *args):  # quiet: stats live in /stats
             pass
@@ -246,12 +318,20 @@ def make_server(algo, variables, host: str = "127.0.0.1", port: int = 8080,
 
         def do_POST(self):
             if self.path != "/predict":
+                self._drain_body()
                 self._json(404, {"error": f"no route {self.path}"})
+                return
+            if self.headers.get("Transfer-Encoding", "").lower():
+                self.close_connection = True
+                self._json(411, {"error": "chunked bodies not supported; "
+                                          "send Content-Length"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
             except ValueError:
-                length = 0
+                self.close_connection = True
+                self._json(400, {"error": "invalid Content-Length"})
+                return
             img = decode_image_bytes(self.rfile.read(length))
             if img is None:
                 self._json(400, {"error": "body is not a decodable image"})
