@@ -1,9 +1,20 @@
-"""What bandwidth does a trivial Pallas pipeline achieve on this chip?
+"""What bandwidth does a trivial streaming program achieve on this chip?
 
-The conv kernel probes bottom out at ~4.3 ms for 0.4-1.7 GB of traffic
-(160-390 GB/s) regardless of DMA amplification — far under the 819 GB/s
-HBM peak. This times identity copies through pallas_call at different
-block shapes vs the XLA copy of the same array (419 MB bf16).
+Round-4 history: at n=20 dispatches this probe reported ~305-390 GB/s and
+docs/performance.md concluded "effective stream bandwidth is ~300-400
+GB/s, not the 819 GB/s spec". That was a measurement artifact — the
+repo's own fence rule (measured = real + K/n per-batch relay overhead,
+docs/performance.md "Methodology") was not applied, and at 1-3 ms
+programs the ~30 ms fence cost dominates n=20 batches. Round 5 re-ran
+with n up to 400: the same `sum(a+1)` program drops 2.16 -> 0.82 -> 0.63
+ms/call at n=20/100/400, i.e. ~670 GB/s under read-only accounting —
+spec-class. This version times every program at n in {20, 100, 400} and
+least-squares fits  measured(n) = real + K/n  to report the fence-free
+latency, so the number cannot be fooled by the per-batch overhead again.
+
+Traffic accounting: XLA fuses `sum(a+1)` into a single read-only pass
+(no materialized output), so its bytes are 1x the array. The Pallas
+identity writes its output: 2x.
 
 Run: python scripts/probe_pallas_bw.py
 """
@@ -15,14 +26,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timed(fn, args, n=20):
+def timed(fn, args, n):
     out = fn(*args)
     float(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    float(out)
+    float(out)  # in-order stream: fetching the last output fences all n
     return (time.perf_counter() - t0) / n * 1e3
+
+
+def fence_fit(fn, args, ns=(20, 100, 400)):
+    """Fit measured(n) = real + K/n; return (real_ms, K_ms, raw points)."""
+    import numpy as np
+
+    pts = [(n, timed(fn, args, n)) for n in ns]
+    A = np.array([[1.0, 1.0 / n] for n, _ in pts])
+    y = np.array([ms for _, ms in pts])
+    real, k = np.linalg.lstsq(A, y, rcond=None)[0]
+    return float(real), float(k), pts
+
+
+def report(name, gb, fn, args):
+    real, k, pts = fence_fit(fn, args)
+    raw = "  ".join(f"n={n}:{ms:.3f}" for n, ms in pts)
+    print(f"{name:34s} real {real:7.3f} ms  {gb / (real * 1e-3):6.0f} GB/s"
+          f"   (fence K={k:.1f} ms; raw {raw})", flush=True)
 
 
 def main():
@@ -42,12 +71,17 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(0), (TOT, 128), jnp.bfloat16)
     jax.block_until_ready(x)
 
-    def xla_copy(a):
+    def xla_sum(a):           # fused read-only pass: 1x bytes
         return jnp.sum(a + 1, dtype=jnp.float32)
 
-    ms = timed(jax.jit(xla_copy), (x,))
-    print(f"xla add1 (r+w {2*gb:.2f} GB)      {ms:8.3f} ms "
-          f"{2*gb/(ms*1e-3):6.0f} GB/s", flush=True)
+    report(f"xla add1+sum (read {gb:.2f} GB)", gb, jax.jit(xla_sum), (x,))
+
+    # materialized out-of-place pass: r+w = 2x bytes. The +1 must be a jit
+    # OUTPUT (not fused into the fence read, which would drop the write),
+    # so index [0,0] in a separate dispatch and fetch that.
+    add_out = jax.jit(lambda a: a + 1)
+    report(f"xla add1 materialized (r+w {2*gb:.2f} GB)", 2 * gb,
+           lambda a: add_out(a)[0, 0], (x,))
 
     def ident_kernel(in_ref, out_ref):
         out_ref[:] = in_ref[:] + 1
@@ -66,11 +100,10 @@ def main():
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.bfloat16),
         )
-        run = jax.jit(lambda a, _f=fn: jnp.sum(_f(a), dtype=jnp.float32))
+        run = jax.jit(lambda a, _f=fn: _f(a)[0, 0])
         try:
-            ms = timed(run, (xx,))
-            print(f"pallas ident ({rows}x{cols} bh={bh:6d}) {ms:8.3f} ms "
-                  f"{2*gb/(ms*1e-3):6.0f} GB/s", flush=True)
+            report(f"pallas ident r+w ({rows}x{cols} bh={bh})", 2 * gb,
+                   run, (xx,))
         except Exception as e:  # noqa: BLE001
             s = str(e)
             j = s.find("Mosaic failed")

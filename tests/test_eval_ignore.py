@@ -133,6 +133,30 @@ def test_evaluate_on_voc_difficult_is_ignore(tmp_path):
     res = algo.evaluate_on_voc(None, index)
     assert res["per_class"]["aeroplane"]["n_gt"] == 1   # difficult ignored
     assert res["mAP"] == pytest.approx(1.0)
+    # COCO-protocol cross-summary over the SAME artifacts (the reference
+    # runs get_coco_map alongside get_map, mAP.py:930-958): perfect
+    # detections -> AP 1.0 at every threshold, and difficult maps to
+    # iscrowd=1 ignore so the high-scoring difficult-overlap det is not FP
+    assert res["coco"]["AP"] == pytest.approx(1.0)
+    assert res["coco"]["AP75"] == pytest.approx(1.0)
+
+
+def test_voc_coco_cross_summary_discriminates():
+    """Control for the cross-summary: a det that matches only at IoU 0.5
+    (not .75+) scores AP50 1.0 but AP@[.5:.95] well below 1 — proves the
+    cross-summary actually runs the multi-threshold protocol, not a copy
+    of the VOC number."""
+    from tpucv.algorithms.base import DetectionAlgorithm
+
+    gts = [{"image_id": 0, "class_id": 0,
+            "bbox": [0.0, 0.0, 100.0, 100.0], "difficult": False}]
+    # ~0.56 IoU with the GT: TP at 0.5/0.55, FP from 0.6 up
+    dts = [{"image_id": 0, "class_id": 0,
+            "bbox": [0.0, 0.0, 75.0, 75.0], "score": 0.9}]
+    stats = DetectionAlgorithm._coco_cross_summary(gts, dts)
+    assert stats["AP50"] == pytest.approx(1.0)
+    assert stats["AP"] == pytest.approx(0.2, abs=1e-6)  # 2 of 10 thresholds
+    assert stats["AP75"] == pytest.approx(0.0)
 
 
 def test_evaluate_on_voc_without_ignore_would_fail():

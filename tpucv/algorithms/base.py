@@ -361,6 +361,35 @@ class DetectionAlgorithm:
             ev.print_summary(stats)
         return stats
 
+    @staticmethod
+    def _coco_cross_summary(gts, dts) -> Dict[str, float]:
+        """COCO 0.5:0.95 summary over VOC-format artifacts
+        ({image_id, class_id, bbox xyxy[, difficult]})."""
+        from tpucv.metrics.coco_map import COCOMeanAP
+
+        cat_ids = sorted({g["class_id"] for g in gts} |
+                         {d["class_id"] for d in dts})
+        if not cat_ids:
+            return {}
+        coco_gts = []
+        for g in gts:
+            x1, y1, x2, y2 = g["bbox"]
+            coco_gts.append({
+                "image_id": g["image_id"], "category_id": g["class_id"],
+                "bbox": [x1, y1, x2 - x1, y2 - y1],
+                "area": float((x2 - x1) * (y2 - y1)),
+                "iscrowd": 1 if g.get("difficult", False) else 0,
+            })
+        coco_dts = []
+        for d in dts:
+            x1, y1, x2, y2 = d["bbox"]
+            coco_dts.append({
+                "image_id": d["image_id"], "category_id": d["class_id"],
+                "bbox": [x1, y1, x2 - x1, y2 - y1], "score": d["score"],
+            })
+        return COCOMeanAP(coco_gts, coco_dts, cat_ids).accumulate() \
+            .summarize()
+
     def evaluate_on_voc(self, variables, index, batch_size: int = 32,
                         conf_threshold: float = 0.001,
                         iou_threshold: float = 0.5,
@@ -390,8 +419,19 @@ class DetectionAlgorithm:
                             "bbox": np.asarray(b).tolist(),
                             "difficult": bool(dif)})
         res = evaluate_voc_map(gts, dts, self.class_names, iou_threshold)
+        # COCO-protocol cross-summary on the SAME artifacts: the reference
+        # runs get_coco_map (0.5:0.95 via COCOeval) alongside get_map on
+        # identical dts/gts (core/metrics/mAP.py:930-958, called from
+        # yolo_v8.py:320-327). Difficult GTs map to iscrowd=1 so the COCO
+        # matcher treats them as ignore regions, the same semantics the
+        # VOC engine gives them.
+        res["coco"] = self._coco_cross_summary(gts, dts)
         if verbose:
             print_voc_map(res)
+            print("COCO-protocol cross-summary (same detections/GTs):")
+            for k in ("AP", "AP50", "AP75"):
+                if k in res["coco"]:
+                    print(f"  {k}: {res['coco'][k]:.4f}")
         if plots:
             # per-class AP bar chart + PR curves, the reference's eval-time
             # artifacts (mAP.py:208-300, drawn inside get_map :302-835)
