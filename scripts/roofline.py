@@ -45,6 +45,18 @@ def timed(fn, args, n, fence):
     return (time.perf_counter() - t0) / n * 1e3
 
 
+def fence_fit(fn, args, ns, fence):
+    """Time at several dispatch counts and least-squares fit
+    measured(n) = real + K/n, eliminating the per-batch relay fence
+    overhead that inflated the round-4 table (docs/performance.md
+    round-5 retraction)."""
+    pts = [(n, timed(fn, args, n, fence)) for n in ns]
+    A = np.array([[1.0, 1.0 / n] for n, _ in pts])
+    y = np.array([ms for _, ms in pts])
+    real, _ = np.linalg.lstsq(A, y, rcond=None)[0]
+    return float(real), pts
+
+
 def cost(compiled):
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
@@ -90,9 +102,11 @@ def run_family(name):
         (b_inf, S, S, 3), dtype=np.float32)).astype(jnp.bfloat16)
     compiled = fwd_eval.lower(variables, x).compile()
     f, b = cost(compiled)
-    ms = timed(fwd_eval, (variables, x), 20,
-               lambda o: float(np.asarray(o).ravel()[0]))
+    ms, pts = fence_fit(fwd_eval, (variables, x), (20, 100, 400),
+                        lambda o: float(np.asarray(o).ravel()[0]))
     report(f"{name} fwd B={b_inf}", ms, f, b)
+    print(f"    raw: {'  '.join(f'n={n}:{m:.2f}' for n, m in pts)}",
+          flush=True)
 
     loss_fn = algo.build_loss()
     tx = optax.adam(1e-3)
@@ -121,8 +135,11 @@ def run_family(name):
     state = jax.device_put(state)
     compiled = step.lower(state, batch).compile()
     f, b = cost(compiled)
-    ms = timed(step, (state, batch), 15, lambda o: float(o[1]["loss"]))
+    ms, pts = fence_fit(step, (state, batch), (10, 40, 160),
+                        lambda o: float(o[1]["loss"]))
     report(f"{name} train_step B={b_tr}", ms, f, b)
+    print(f"    raw: {'  '.join(f'n={n}:{m:.2f}' for n, m in pts)}",
+          flush=True)
 
 
 def main():

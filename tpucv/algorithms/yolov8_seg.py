@@ -82,6 +82,96 @@ class YOLOv8Seg(DetectionAlgorithm):
 
         return infer
 
+    def evaluate_mask_ap(self, variables, index, batch_size: int = 8,
+                         conf_threshold: float = 0.001,
+                         verbose: bool = True):
+        """Mask AP — the COCO iouType='segm' protocol evaluated at the
+        letterboxed canvas resolution with dense masks (COCOMaskAP).
+
+        Detection masks come from the prototype head thresholded at 0.5 on
+        the (s, s) canvas; GT masks are rasterized on the same canvas —
+        polygons when the index provides them (``index.polygons``),
+        box-filled rectangles otherwise (exact for the synthetic data,
+        whose objects ARE rectangles). The reference has no instance-seg
+        task; this locks tpucv's own mask pipeline (prototype combine,
+        crop-to-box, threshold) the way bbox eval locks decode+NMS.
+        """
+        import cv2
+
+        from tpucv.algorithms.base import cached_infer
+        from tpucv.metrics.coco_map import COCOMaskAP
+        from tpucv.ops.masks import process_mask
+        from tpucv.utils.image_process import letter_box, read_image
+
+        s = self.input_size
+        infer = cached_infer(
+            self, f"eval_seg@{conf_threshold}",
+            lambda: self.make_seg_infer_fn(conf_threshold=conf_threshold))
+        polys = getattr(index, "polygons", None)
+
+        gts, dts = [], []
+        canvases, geoms = [], []
+        for i in range(len(index)):
+            img, boxes, labels = index[i][:3]
+            if isinstance(img, str):
+                img = read_image(img)
+            canvas, scale, pad = letter_box(img, (s, s))
+            canvases.append(canvas)
+            geoms.append((scale, pad))
+            for j, (b, l) in enumerate(zip(boxes, labels)):
+                m = np.zeros((s, s), np.uint8)
+                pts = None
+                if callable(polys):
+                    pl = polys(i, j)
+                    if pl:
+                        pts = [np.round(
+                            np.asarray(p, np.float32).reshape(-1, 2)
+                            * scale + np.asarray(pad, np.float32)
+                        ).astype(np.int32) for p in pl if len(p) >= 6]
+                if pts:
+                    cv2.fillPoly(m, pts, 1)
+                else:
+                    x1, y1, x2, y2 = np.asarray(b, np.float32) * scale
+                    x1, x2 = x1 + pad[0], x2 + pad[0]
+                    y1, y2 = y1 + pad[1], y2 + pad[1]
+                    m[int(y1):max(int(np.ceil(y2)), int(y1) + 1),
+                      int(x1):max(int(np.ceil(x2)), int(x1) + 1)] = 1
+                gts.append({"image_id": i, "category_id": int(l),
+                            "mask": m, "area": float(m.sum()),
+                            "iscrowd": 0})
+
+        for start in range(0, len(canvases), batch_size):
+            chunk = canvases[start:start + batch_size]
+            nb = len(chunk)
+            if nb < batch_size:    # pad to the compiled static shape
+                chunk = chunk + [np.zeros((s, s, 3), np.uint8)] * \
+                    (batch_size - nb)
+            out = jax.device_get(infer(variables, jnp.asarray(
+                np.stack(chunk))))
+            boxes_b, scores_b, classes_b, valid_b, coefs_b, protos_b = out
+            for bi in range(nb):
+                v = np.asarray(valid_b[bi])
+                if not v.any():
+                    continue
+                masks = np.asarray(jax.device_get(process_mask(
+                    jnp.asarray(protos_b[bi]), jnp.asarray(coefs_b[bi]),
+                    jnp.asarray(boxes_b[bi]), (s, s), upsample=True)))
+                for k in np.flatnonzero(v):
+                    dts.append({
+                        "image_id": start + bi,
+                        "category_id": int(classes_b[bi][k]),
+                        "score": float(scores_b[bi][k]),
+                        "mask": masks[k] > 0.5,
+                    })
+
+        cat_ids = list(range(len(self.class_names)))
+        ev = COCOMaskAP(gts, dts, cat_ids).accumulate()
+        stats = ev.summarize()
+        if verbose:
+            print("Mask AP (COCO segm protocol, canvas resolution):")
+            ev.print_summary(stats)
+        return stats
+
     def predict(self, variables, image_path: str, infer_fn=None,
                 save_dir: Optional[str] = "detect_results"):
         import cv2

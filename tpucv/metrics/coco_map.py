@@ -85,6 +85,12 @@ class COCOMeanAP:
     def _dt_area(self, d: dict) -> float:
         return d["bbox"][2] * d["bbox"][3]
 
+    @staticmethod
+    def _gt_area(g: dict) -> float:
+        # NOT dict.get with a default: mask gts carry "area" but no
+        # "bbox", and get()'s default argument evaluates eagerly
+        return g["area"] if "area" in g else g["bbox"][2] * g["bbox"][3]
+
     def _iou(self, dts: List[dict], gts: List[dict],
              iscrowd: np.ndarray) -> np.ndarray:
         g_boxes = np.array([g["bbox"] for g in gts], float).reshape(-1, 4)
@@ -120,8 +126,8 @@ class COCOMeanAP:
         # exactly on a boundary (e.g. 32^2) is in BOTH adjacent ranges
         g_ignore = np.array([
             bool(g.get("iscrowd", 0)) or self._gt_extra_ignore(g)
-            or g.get("area", g["bbox"][2] * g["bbox"][3]) < area_rng[0]
-            or g.get("area", g["bbox"][2] * g["bbox"][3]) > area_rng[1]
+            or self._gt_area(g) < area_rng[0]
+            or self._gt_area(g) > area_rng[1]
             for g in gts], dtype=bool)
         # sort gts: non-ignored first (pycocotools gtind ordering)
         g_order = np.argsort(g_ignore, kind="stable")
@@ -352,6 +358,39 @@ class COCOMeanAP:
                    "Average Recall     (AR)"
             print(f" {kind} @[ IoU={iou} | area={area:>6s} | "
                   f"maxDets={md:>3d} ] = {v:0.3f}")
+
+
+class COCOMaskAP(COCOMeanAP):
+    """COCOeval iouType='segm' protocol over dense binary masks.
+
+    gts/dts carry {"mask": bool/uint8 (H, W)} instead of RLE (tpucv
+    evaluates at a fixed canvas resolution, so dense arrays are exact and
+    avoid a pycocotools dependency — the reference consumes segm IoU only
+    through pycocotools). GT "area" is the mask pixel count (pycocotools
+    semantics); crowd IoU uses the dt-area denominator, same as bbox.
+    The matching/accumulation protocol (thresholds, area ranges, maxDets,
+    101-point interpolation) is inherited unchanged from COCOMeanAP.
+    """
+
+    def _accumulate_native(self) -> bool:
+        return False                      # C++ core is bbox-only
+
+    def _dt_area(self, d: dict) -> float:
+        return float(np.count_nonzero(d["mask"]))
+
+    def _iou(self, dts, gts, iscrowd) -> np.ndarray:
+        if len(dts) == 0 or len(gts) == 0:
+            return np.zeros((len(dts), len(gts)))
+        D = np.stack([np.asarray(d["mask"], bool).reshape(-1)
+                      for d in dts]).astype(np.float32)
+        G = np.stack([np.asarray(g["mask"], bool).reshape(-1)
+                      for g in gts]).astype(np.float32)
+        inter = D @ G.T                                   # (nd, ng)
+        d_area = D.sum(axis=1, keepdims=True)
+        g_area = G.sum(axis=1, keepdims=True).T
+        union = np.where(iscrowd[None].astype(bool), d_area,
+                         d_area + g_area - inter)
+        return inter / np.maximum(union, np.spacing(1))
 
 
 # COCO 17-keypoint per-joint falloff constants (pycocotools cocoeval.py
