@@ -97,6 +97,50 @@ def bench_train_step():
     return B / dt, dt * 1e3
 
 
+def bench_host_decode(n_imgs: int = 160, hw=(480, 640), canvas: int = 640):
+    """Measured JPEG->canvas decode rate of the native imagepipe pool at
+    1/2/4 threads on this host. The 1-thread number is the per-core rate
+    used by the feed-limited e2e claim; on this 1-core host the 2/4-thread
+    rows validate that timeshared threads do not collapse throughput
+    (GIL-free pool), which is the precondition for linear scaling on
+    many-core production hosts. Returns {n_threads: img/s} or None when
+    the native pipeline is unavailable."""
+    try:
+        import cv2
+        import tempfile
+
+        from tpucv.native.imagepipe import decode_to_canvas
+
+        rng = np.random.default_rng(0)
+        tmp = tempfile.mkdtemp(prefix="tpucv_benchjpg_")
+        uniq = []
+        for i in range(32):
+            # full-frame noise is the densest JPEG possible (~2-3x the
+            # bytes of a natural photo), so this per-core rate is a
+            # WORST-CASE floor, not a typical-photo rate
+            img = rng.integers(0, 255, (*hw, 3), dtype=np.uint8)
+            p = os.path.join(tmp, f"{i}.jpg")
+            cv2.imwrite(p, img[..., ::-1],
+                        [int(cv2.IMWRITE_JPEG_QUALITY), 90])
+            uniq.append(p)
+        paths = (uniq * ((n_imgs + len(uniq) - 1) // len(uniq)))[:n_imgs]
+        if decode_to_canvas(paths[:8], canvas, n_threads=1) is None:
+            return None
+        rates = {}
+        for nt in (1, 2, 4):
+            t0 = time.perf_counter()
+            out = decode_to_canvas(paths, canvas, n_threads=nt)
+            dt = time.perf_counter() - t0
+            if out is None or not out[3].all():
+                return None
+            rates[nt] = n_imgs / dt
+        _log(f"host decode rates: {rates}")
+        return rates
+    except Exception as e:                              # pragma: no cover
+        _log(f"host decode bench failed: {type(e).__name__}: {e}")
+        return None
+
+
 def bench_scale(scale: str):
     """YOLOv8 at a wider scale (s/m/l): same e2e inference program and
     train step as the headline, one JSON line. Exists to test the
@@ -383,6 +427,18 @@ def main():
 
     train_ips, train_ms = bench_train_step()
 
+    # 4) measured host JPEG-decode rate (native imagepipe), for the honest
+    # feed-limited claim: e2e JPEG->boxes on a host with C cores is
+    # min(decode_rate_per_core * C, chip_rate). Both inputs measured; this
+    # 1-core host's own feed-limited number is reported alongside the
+    # chip-resident headline (VERDICT r4 item 2).
+    decode_rates = bench_host_decode()
+    n_cores = os.cpu_count() or 1
+    per_core = decode_rates.get(1) if decode_rates else None
+    feed_limited = min(per_core * n_cores, ips) if per_core else None
+    cores_to_feed = (int(np.ceil(ips / per_core))
+                     if per_core else None)
+
     print(json.dumps({
         "metric": "yolov8n_640_e2e_images_per_sec_per_chip",
         "value": round(ips, 2),
@@ -393,6 +449,13 @@ def main():
         "int8_img_per_sec": round(int8_ips, 2) if int8_ips else None,
         "train_img_per_sec": round(train_ips, 2),
         "train_step_ms": round(train_ms, 2),
+        "host_decode_img_per_sec_per_core":
+            round(per_core, 1) if per_core else None,
+        "host_decode_threads": {str(k): round(v, 1)
+                                for k, v in (decode_rates or {}).items()},
+        "feed_limited_img_per_sec_this_host":
+            round(feed_limited, 1) if feed_limited else None,
+        "cores_to_feed_chip": cores_to_feed,
         "pipeline": "uint8 480x640 -> on-chip letterbox(pad)+normalize"
                     "+forward+decode+NMS",
     }))
