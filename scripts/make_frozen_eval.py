@@ -155,7 +155,10 @@ def format_artifact(stats) -> str:
 
 DET_RECIPES = {
     # name: (input_size, steps, batch, lr, conf_threshold)
-    "ssd": (300, 80, 2, 2e-3, 0.05),        # geometry locked to 300
+    "ssd": (300, 400, 2, 2e-3, 0.05),       # geometry locked to 300; VGG
+                                            # from scratch needs ~400 steps
+                                            # to overfit 12 images (80 gave
+                                            # a vacuous mAP50=0.001 anchor)
     "centernet": (192, 250, 4, 1e-3, 0.05),
     "yolo7": (128, 200, 4, 2e-3, 0.05),
 }
@@ -355,7 +358,7 @@ FAMILIES = {
     "yolo8": ("yolo8n_syncoco_val.txt", None, METRIC_ORDER, None),
     "ssd": ("ssd300_synvoc_val.txt",
             lambda v: run_det_family("ssd", v), DET_METRICS,
-            "SSD300-VGG16, 80 seeded steps @300^2, 12 synthetic images"),
+            "SSD300-VGG16, 400 seeded steps @300^2, 12 synthetic images"),
     "centernet": ("centernet_synvoc_val.txt",
                   lambda v: run_det_family("centernet", v), DET_METRICS,
                   "CenterNet DLA-34, 250 seeded steps @192^2, 12 images"),
