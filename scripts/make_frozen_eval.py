@@ -252,7 +252,7 @@ def run_deeplab(verbose: bool = False):
     from tpucv.data.loader import Loader, segmentation_collate
     from tpucv.data.segmentation_dataset import (SegmentationDataset,
                                                  synthetic_seg_samples)
-    from tpucv.ops.preprocess import normalize_images
+    from tpucv.ops.preprocess import imagenet_normalize, normalize_images
     from tpucv.train.state import TrainState, make_train_step
 
     S, steps, B, lr = 65, 150, 4, 2e-3
@@ -274,8 +274,10 @@ def run_deeplab(verbose: bool = False):
                               variables.get("batch_stats", {}), tx)
     for n in range(steps):
         sel = [(n * B + j) % N_IMAGES for j in range(B)]
-        batch = {"images": normalize_images(jnp.asarray(imgs[sel]),
-                                            jnp.float32),
+        # the seg eval/infer path applies imagenet normalization on top of
+        # /255 (make_infer_fn) — training must match or eval sees garbage
+        batch = {"images": imagenet_normalize(normalize_images(
+                     jnp.asarray(imgs[sel]), jnp.float32)),
                  "labels": jnp.asarray(labels[sel])}
         state, m = step(state, batch)
         if verbose and n % 25 == 0:
