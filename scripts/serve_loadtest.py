@@ -47,7 +47,21 @@ def make_jpegs(n=8, hw=(480, 640)):
     return out
 
 
-def run_level(url, bodies, n_clients, secs):
+def make_raws(n=8, hw=(480, 640)):
+    """Raw uint8 RGB bodies + headers: isolates batcher+device serving
+    overhead from host JPEG decode (the binding cost on few-core hosts)."""
+    rng = np.random.default_rng(0)
+    out = []
+    for _ in range(n):
+        img = rng.integers(0, 255, (*hw, 3), np.uint8)
+        out.append(img.tobytes())
+    headers = {"Content-Type": "application/x-raw-rgb",
+               "X-Height": str(hw[0]), "X-Width": str(hw[1])}
+    return out, headers
+
+
+def run_level(url, bodies, n_clients, secs,
+              headers={"Content-Type": "image/jpeg"}):
     lat, errors = [], [0]
     stop = time.perf_counter() + secs
     lock = threading.Lock()
@@ -57,8 +71,7 @@ def run_level(url, bodies, n_clients, secs):
         while time.perf_counter() < stop:
             body = bodies[i % len(bodies)]
             i += 1
-            req = urllib.request.Request(
-                url, data=body, headers={"Content-Type": "image/jpeg"})
+            req = urllib.request.Request(url, data=body, headers=headers)
             t0 = time.perf_counter()
             try:
                 with urllib.request.urlopen(req, timeout=60) as r:
@@ -100,6 +113,9 @@ def main():
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
     ap.add_argument("--levels", default="1,2,4,8,16,32")
     ap.add_argument("--secs", type=float, default=12.0)
+    ap.add_argument("--raw", action="store_true",
+                    help="POST raw uint8 RGB bodies (application/x-raw-rgb)"
+                         " instead of JPEGs — no host decode in the loop")
     args = ap.parse_args()
 
     from tpucv.builder import export_from_registry
@@ -115,20 +131,26 @@ def main():
     threading.Thread(target=server.serve_forever, daemon=True).start()
     host, port = server.server_address[:2]
     url = f"http://{host}:{port}/predict"
-    bodies = make_jpegs()
+    if args.raw:
+        bodies, headers = make_raws()
+    else:
+        bodies, headers = make_jpegs(), {"Content-Type": "image/jpeg"}
 
     # warm the HTTP path once
     urllib.request.urlopen(urllib.request.Request(
-        url, data=bodies[0], headers={"Content-Type": "image/jpeg"}),
-        timeout=120).read()
+        url, data=bodies[0], headers=headers), timeout=120).read()
 
     results = []
+    prev = json.load(urllib.request.urlopen(f"http://{host}:{port}/stats"))
     for n in [int(x) for x in args.levels.split(",")]:
-        r = run_level(url, bodies, n, args.secs)
+        r = run_level(url, bodies, n, args.secs, headers=headers)
         snap = json.load(urllib.request.urlopen(
             f"http://{host}:{port}/stats"))
-        r["mean_batch_occupancy"] = snap.get("mean_batch_occupancy")
-        r["rejected_total"] = snap.get("rejected")
+        d_img = snap["images"] - prev["images"]
+        d_batch = snap["batches"] - prev["batches"]
+        r["mean_batch_occupancy"] = round(d_img / max(d_batch, 1), 2)
+        r["rejected"] = snap.get("rejected", 0) - prev.get("rejected", 0)
+        prev = snap
         results.append(r)
         print(json.dumps(r), flush=True)
 

@@ -219,6 +219,40 @@ def test_http_contract_with_stub_algo():
         server.server_close()
 
 
+def test_raw_rgb_route():
+    """application/x-raw-rgb: uint8 RGB pixels + X-Height/X-Width headers
+    skip the encode/decode round trip (and a size mismatch is a clean 400,
+    not a reshape crash)."""
+    server = make_server(_StubAlgo(), {}, port=0, batch_size=4,
+                         max_wait_ms=5, warmup=False, model_name="stub")
+    _start(server)
+    try:
+        h, w = 48, 64
+        body = np.random.default_rng(0).integers(
+            0, 255, (h, w, 3), np.uint8).tobytes()
+        headers = {"Content-Type": "application/x-raw-rgb",
+                   "X-Height": str(h), "X-Width": str(w)}
+        resp = json.load(urllib.request.urlopen(urllib.request.Request(
+            _url(server, "/predict"), data=body, headers=headers)))
+        assert len(resp["detections"]) == 1
+
+        # wrong length -> 400 (and keep-alive stays usable: the error
+        # path drains nothing here because the body was fully read)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(urllib.request.Request(
+                _url(server, "/predict"), data=body[:-7], headers=headers))
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(urllib.request.Request(
+                _url(server, "/predict"), data=body,
+                headers={**headers, "X-Height": "nan"}))
+        assert e.value.code == 400
+    finally:
+        server.batcher.stop()
+        server.shutdown()
+        server.server_close()
+
+
 def test_keepalive_survives_error_responses_with_bodies():
     """A 404 POST with a body must not desync a persistent connection:
     the unread body would otherwise be parsed as the next request."""

@@ -68,6 +68,15 @@ def decode_image_bytes(body: bytes) -> Optional[np.ndarray]:
     return np.ascontiguousarray(bgr[..., ::-1])
 
 
+def decode_raw_rgb(body: bytes, height: int, width: int) -> Optional[np.ndarray]:
+    """``application/x-raw-rgb`` body (H*W*3 uint8, RGB, row-major) ->
+    HWC array, or None on a size mismatch. Lets clients that already hold
+    pixels skip the encode/decode round trip entirely."""
+    if height <= 0 or width <= 0 or len(body) != height * width * 3:
+        return None
+    return np.frombuffer(body, np.uint8).reshape(height, width, 3)
+
+
 class MicroBatcher:
     """Groups concurrent requests into fixed-shape device batches.
 
@@ -332,10 +341,24 @@ def make_server(algo, variables, host: str = "127.0.0.1", port: int = 8080,
                 self.close_connection = True
                 self._json(400, {"error": "invalid Content-Length"})
                 return
-            img = decode_image_bytes(self.rfile.read(length))
-            if img is None:
-                self._json(400, {"error": "body is not a decodable image"})
-                return
+            body = self.rfile.read(length)
+            if self.headers.get("Content-Type", "") == "application/x-raw-rgb":
+                try:
+                    h = int(self.headers.get("X-Height", 0))
+                    w = int(self.headers.get("X-Width", 0))
+                except ValueError:
+                    h = w = 0
+                img = decode_raw_rgb(body, h, w)
+                if img is None:
+                    self._json(400, {
+                        "error": "raw body must be X-Height*X-Width*3 "
+                                 "uint8 RGB bytes"})
+                    return
+            else:
+                img = decode_image_bytes(body)
+                if img is None:
+                    self._json(400, {"error": "body is not a decodable image"})
+                    return
             t0 = time.perf_counter()
             result = batcher.submit(img)
             status = result.pop("_status", 200)
