@@ -155,10 +155,14 @@ def format_artifact(stats) -> str:
 
 DET_RECIPES = {
     # name: (input_size, steps, batch, lr, conf_threshold)
-    "ssd": (300, 400, 2, 2e-3, 0.05),       # geometry locked to 300; VGG
-                                            # from scratch needs ~400 steps
-                                            # to overfit 12 images (80 gave
-                                            # a vacuous mAP50=0.001 anchor)
+    "ssd": (300, 600, 2, 2e-3, 0.05),       # geometry locked to 300. VGG
+                                            # from scratch is unstable under
+                                            # constant Adam 2e-3 (loss
+                                            # cycles 5 -> 28 -> 5); SSD gets
+                                            # a cosine decay to 0 over the
+                                            # run so the overfit anneals in
+                                            # (constant-lr 400 steps froze a
+                                            # vacuous mAP50=0.02 anchor)
     "centernet": (192, 250, 4, 1e-3, 0.05),
     "yolo7": (128, 200, 4, 2e-3, 0.05),
 }
@@ -199,6 +203,8 @@ def run_det_family(name: str, verbose: bool = False):
     from tpucv.train.state import TrainState, make_train_step
 
     S, steps, B, lr, conf = DET_RECIPES[name]
+    if name == "ssd":   # see DET_RECIPES comment
+        lr = optax.cosine_decay_schedule(lr, steps)
     cfg, algo_cls, _ = export_from_registry(name)
     cfg.train.mixed_precision = False
     cfg.dataset.input_size = S

@@ -88,7 +88,10 @@ class SsdArch:
 
 @dataclass
 class SsdLoss:
-    alpha: float = 1.0
+    # MultiBoxLossV2 blends total = conf*(1-alpha) + loc*alpha and hardcodes
+    # alpha=0.5 (multi_box_loss.py:92,191); ssd_cfg.py:134's 0.25 is unused
+    # by that loss. 1.0 here silently zeroed the classification gradient.
+    alpha: float = 0.5
     neg_pos_ratio: int = 3
     overlap_threshold: float = 0.5
 
