@@ -155,14 +155,17 @@ def format_artifact(stats) -> str:
 
 DET_RECIPES = {
     # name: (input_size, steps, batch, lr, conf_threshold)
-    "ssd": (300, 600, 2, 2e-3, 0.05),       # geometry locked to 300. VGG
+    "ssd": (300, 300, 2, 2e-3, 0.05),       # geometry locked to 300. VGG
                                             # from scratch is unstable under
                                             # constant Adam 2e-3 (loss
                                             # cycles 5 -> 28 -> 5); SSD gets
                                             # a cosine decay to 0 over the
                                             # run so the overfit anneals in
                                             # (constant-lr 400 steps froze a
-                                            # vacuous mAP50=0.02 anchor)
+                                            # vacuous mAP50=0.02 anchor;
+                                            # 300 cosine steps keep the
+                                            # slow-test re-run ~25 min on a
+                                            # 1-core host vs ~50 at 600)
     "centernet": (192, 250, 4, 1e-3, 0.05),
     "yolo7": (128, 200, 4, 2e-3, 0.05),
 }
@@ -366,7 +369,8 @@ FAMILIES = {
     "yolo8": ("yolo8n_syncoco_val.txt", None, METRIC_ORDER, None),
     "ssd": ("ssd300_synvoc_val.txt",
             lambda v: run_det_family("ssd", v), DET_METRICS,
-            "SSD300-VGG16, 400 seeded steps @300^2, 12 synthetic images"),
+            "SSD300-VGG16, 300 seeded cosine-lr steps @300^2, 12 synthetic"
+            " images"),
     "centernet": ("centernet_synvoc_val.txt",
                   lambda v: run_det_family("centernet", v), DET_METRICS,
                   "CenterNet DLA-34, 250 seeded steps @192^2, 12 images"),

@@ -113,6 +113,11 @@ def main():
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
     ap.add_argument("--levels", default="1,2,4,8,16,32")
     ap.add_argument("--secs", type=float, default=12.0)
+    ap.add_argument("--hw", default="480,640",
+                    help="client image height,width — smaller bodies "
+                         "isolate per-request HTTP/batcher overhead from "
+                         "transport bandwidth (the axon relay's degraded "
+                         "H2D binds at ~20 img/s for 480x640 raw)")
     ap.add_argument("--raw", action="store_true",
                     help="POST raw uint8 RGB bodies (application/x-raw-rgb)"
                          " instead of JPEGs — no host decode in the loop")
@@ -131,10 +136,11 @@ def main():
     threading.Thread(target=server.serve_forever, daemon=True).start()
     host, port = server.server_address[:2]
     url = f"http://{host}:{port}/predict"
+    hw = tuple(int(x) for x in args.hw.split(","))
     if args.raw:
-        bodies, headers = make_raws()
+        bodies, headers = make_raws(hw=hw)
     else:
-        bodies, headers = make_jpegs(), {"Content-Type": "image/jpeg"}
+        bodies, headers = make_jpegs(hw=hw), {"Content-Type": "image/jpeg"}
 
     # warm the HTTP path once
     urllib.request.urlopen(urllib.request.Request(
@@ -150,18 +156,23 @@ def main():
         d_batch = snap["batches"] - prev["batches"]
         r["mean_batch_occupancy"] = round(d_img / max(d_batch, 1), 2)
         r["rejected"] = snap.get("rejected", 0) - prev.get("rejected", 0)
+        r["device_ms_per_batch"] = round(
+            (snap.get("device_s", 0) - prev.get("device_s", 0))
+            / max(d_batch, 1) * 1e3, 1)
         prev = snap
         results.append(r)
         print(json.dumps(r), flush=True)
 
     server.batcher.stop()
     server.shutdown()
-    print("\n| clients | img/s | p50 ms | p95 ms | p99 ms | occupancy |")
-    print("|---|---|---|---|---|---|")
+    print("\n| clients | img/s | p50 ms | p95 ms | p99 ms | occupancy "
+          "| device ms/batch |")
+    print("|---|---|---|---|---|---|---|")
     for r in results:
         print(f"| {r['clients']} | {r['throughput_img_s']} | {r['p50_ms']} "
               f"| {r['p95_ms']} | {r['p99_ms']} "
-              f"| {r['mean_batch_occupancy']} |")
+              f"| {r['mean_batch_occupancy']} "
+              f"| {r['device_ms_per_batch']} |")
     os._exit(0)
 
 

@@ -106,7 +106,12 @@ class MicroBatcher:
         self._lock = threading.Lock()
         self._latencies = collections.deque(maxlen=512)  # seconds
         self.stats = {"requests": 0, "batches": 0, "images": 0,
-                      "errors": 0, "rejected": 0}
+                      "errors": 0, "rejected": 0,
+                      # wall time inside the device call (H2D + jitted
+                      # program + result fetch), for separating transport/
+                      # compute cost from HTTP+batcher overhead in load
+                      # tests (snapshot: device_ms_per_batch)
+                      "device_s": 0.0}
         self._thread: Optional[threading.Thread] = None
         self._started = False
         self._stopped = False
@@ -206,6 +211,7 @@ class MicroBatcher:
             if not group:
                 continue
             index = [(slot["img"],) for slot in group]
+            t_dev = time.perf_counter()
             try:
                 for i, boxes, scores, classes in \
                         self.algo._batched_detections(
@@ -228,6 +234,7 @@ class MicroBatcher:
             now = time.perf_counter()
             with self._lock:
                 self.stats["batches"] += 1
+                self.stats["device_s"] += now - t_dev
                 for slot in group:
                     if slot.get("dead"):   # timed out mid-compute; already
                         continue           # counted as an error in submit()
@@ -248,6 +255,9 @@ class MicroBatcher:
         if out["batches"]:
             out["mean_batch_occupancy"] = round(
                 out["images"] / out["batches"], 2)
+            out["device_ms_per_batch"] = round(
+                out["device_s"] / out["batches"] * 1e3, 2)
+        out["device_s"] = round(out["device_s"], 3)
         if lat:
             out["latency_ms_p50"] = round(lat[len(lat) // 2] * 1e3, 2)
             out["latency_ms_p99"] = round(
