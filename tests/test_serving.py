@@ -92,6 +92,11 @@ def test_batcher_coalesces_concurrent_requests():
         # coalescing overwhelmingly likely but we only assert the cap
         assert 2 <= snap["batches"] <= 6
         assert max(algo.batch_calls) <= 4
+        # device-time accounting: the stub sleeps 20 ms per device call,
+        # so the per-batch mean must be >= that and the cumulative total
+        # >= batches * 20 ms (load tests diff device_s across levels)
+        assert snap["device_ms_per_batch"] >= 20.0
+        assert snap["device_s"] >= snap["batches"] * 0.02
     finally:
         b.stop()
 
